@@ -1,0 +1,32 @@
+"""Build torsos/heads from config dicts.
+
+Replaces the reference's `hydra.utils.instantiate(_target_=...)` pattern
+(`mava/systems/ppo/ff_ippo.py:363-367`) with an explicit registry — hydra is not a
+dependency of this framework.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from mava_tpu.networks.heads import ContinuousActionHead, DiscreteActionHead
+from mava_tpu.networks.torsos import CNNTorso, MLPTorso
+
+_TORSOS = {"MLPTorso": MLPTorso, "CNNTorso": CNNTorso}
+_HEADS = {
+    "DiscreteActionHead": DiscreteActionHead,
+    "ContinuousActionHead": ContinuousActionHead,
+}
+
+
+def make_torso(cfg: Dict[str, Any]):
+    """cfg e.g. {"type": "MLPTorso", "layer_sizes": [128, 128], "activation": "relu"}."""
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    return _TORSOS[kind](**cfg)
+
+
+def make_action_head(cfg: Dict[str, Any], action_dim: int):
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    return _HEADS[kind](action_dim=action_dim, **cfg)

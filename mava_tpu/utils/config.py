@@ -1,0 +1,145 @@
+"""Lightweight YAML config system with group composition and CLI overrides.
+
+Replaces the reference's Hydra + OmegaConf stack (`mava/configs/**`,
+`@hydra.main` entry points, `mava/systems/ppo/ff_ippo.py:573-586`) — hydra is not
+available in this image and a small explicit composer is easier to reason about.
+
+Semantics:
+  * A top-level file `configs/default_<system>.yaml` declares `defaults:` — a mapping of
+    group name -> option. Each group option loads `configs/<group>/<option>.yaml` into
+    `cfg.<group>`.
+  * `env` group files may declare their own `defaults: {scenario: <name>}`, which loads
+    `configs/env/scenario/<name>.yaml` into `cfg.env.scenario`.
+  * Overrides: `group=option` recomposes a group; `env.scenario=name` swaps the scenario
+    file; any dotted path `a.b.c=value` sets a leaf (value parsed as YAML).
+  * The result is a `Config`: a dict with attribute access, open to new keys (the
+    reference relies on OmegaConf struct-mode off for runtime-injected keys).
+"""
+
+from __future__ import annotations
+
+import copy
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import yaml
+
+CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+
+class Config(dict):
+    """A dict with recursive attribute access. New keys may be added freely."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+    def __setattr__(self, name: str, value: Any) -> None:
+        self[name] = value
+
+    def __deepcopy__(self, memo: dict) -> "Config":
+        return Config({k: copy.deepcopy(v, memo) for k, v in self.items()})
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        out = Config()
+        for k, v in d.items():
+            out[k] = Config.from_dict(v) if isinstance(v, dict) else v
+        return out
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            k: (v.to_dict() if isinstance(v, Config) else v) for k, v in self.items()
+        }
+
+
+def _load_yaml(path: Path) -> Dict[str, Any]:
+    if not path.exists():
+        raise FileNotFoundError(f"Config file not found: {path}")
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def _load_group(group: str, option: str, config_dir: Path) -> Dict[str, Any]:
+    """Load one group option; `option` may contain '/' for nested dirs
+    (e.g. system: ppo/ff_ippo)."""
+    data = _load_yaml(config_dir / group / f"{option}.yaml")
+    # Nested defaults (currently only env -> scenario).
+    inner_defaults = data.pop("defaults", None)
+    if inner_defaults:
+        for sub_group, sub_option in inner_defaults.items():
+            data[sub_group] = _load_yaml(
+                config_dir / group / sub_group / f"{sub_option}.yaml"
+            )
+    return data
+
+
+def _deep_merge(base: Dict[str, Any], override: Dict[str, Any]) -> Dict[str, Any]:
+    for key, value in override.items():
+        if key in base and isinstance(base[key], dict) and isinstance(value, dict):
+            _deep_merge(base[key], value)
+        else:
+            base[key] = value
+    return base
+
+
+def _parse_value(text: str) -> Any:
+    return yaml.safe_load(text)
+
+
+def _set_dotted(cfg: Dict[str, Any], path: str, value: Any) -> None:
+    keys = path.split(".")
+    node = cfg
+    for key in keys[:-1]:
+        if key not in node or not isinstance(node[key], dict):
+            node[key] = Config()
+        node = node[key]
+    node[keys[-1]] = value
+
+
+def load_config(
+    default_name: str,
+    overrides: Optional[Sequence[str]] = None,
+    config_dir: Optional[os.PathLike] = None,
+) -> Config:
+    """Compose a config from `configs/<default_name>.yaml` plus CLI-style overrides."""
+    config_dir = Path(config_dir) if config_dir is not None else CONFIG_DIR
+    top = _load_yaml(config_dir / f"{default_name}.yaml")
+    defaults: Dict[str, str] = top.pop("defaults", {})
+
+    # Group switches in the overrides replace the default option before composing.
+    overrides = list(overrides or [])
+    remaining: List[str] = []
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"Override must be key=value, got: {ov}")
+        key, value = ov.split("=", 1)
+        if key in defaults and "." not in key:
+            defaults[key] = value
+        else:
+            remaining.append(ov)
+
+    cfg: Dict[str, Any] = {}
+    for group, option in defaults.items():
+        cfg[group] = _load_group(group, str(option), config_dir)
+    _deep_merge(cfg, top)  # top-level keys outside `defaults` overlay the groups
+
+    # Sub-group swaps (env.scenario=...) then leaf overrides.
+    leaf_overrides: List[str] = []
+    for ov in remaining:
+        key, value = ov.split("=", 1)
+        if key == "env.scenario":
+            cfg["env"]["scenario"] = _load_yaml(
+                config_dir / "env" / "scenario" / f"{value}.yaml"
+            )
+        else:
+            leaf_overrides.append(ov)
+
+    for ov in leaf_overrides:
+        key, value = ov.split("=", 1)
+        _set_dotted(cfg, key, _parse_value(value))
+
+    return Config.from_dict(cfg)

@@ -1,0 +1,252 @@
+"""Metric logging facade.
+
+Capability parity with reference `mava/utils/logger.py:44-348`: a `MavaLogger` facade
+computing win-rates and mean/std/min/max summaries, fanning out to console, TensorBoard
+(own dependency-free writer), and marl-eval-format JSON backends. Neptune is not
+available in this image; its slot in the fan-out raises a clear error if enabled.
+
+In multi-host runs only process 0 should construct backends — `MavaLogger` no-ops on
+other processes.
+"""
+
+from __future__ import annotations
+
+import abc
+import json
+import logging
+import os
+import time
+from datetime import datetime
+from enum import Enum
+from typing import Any, Dict, List, Union
+
+import jax
+import numpy as np
+from colorama import Fore, Style
+
+
+class LogEvent(Enum):
+    ACT = "actor"
+    TRAIN = "trainer"
+    EVAL = "evaluator"
+    ABSOLUTE = "absolute"
+    MISC = "misc"
+
+
+def describe(x: Any) -> Union[Dict[str, Any], Any]:
+    """mean/std/min/max summary for metric arrays (reference `logger.py:342-348`)."""
+    if not isinstance(x, (jax.Array, np.ndarray)) or np.size(x) <= 1:
+        return x
+    return {"mean": np.mean(x), "std": np.std(x), "min": np.min(x), "max": np.max(x)}
+
+
+def _flatten(d: Dict, parent: str = "", sep: str = "/") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    for k, v in d.items():
+        key = f"{parent}{sep}{k}" if parent else str(k)
+        if isinstance(v, dict):
+            out.update(_flatten(v, key, sep))
+        else:
+            out[key] = v
+    return out
+
+
+class BaseLogger(abc.ABC):
+    @abc.abstractmethod
+    def log_stat(
+        self, key: str, value: float, step: int, eval_step: int, event: LogEvent
+    ) -> None: ...
+
+    def log_dict(self, data: Dict, step: int, eval_step: int, event: LogEvent) -> None:
+        for key, value in _flatten(data).items():
+            self.log_stat(key, value, step, eval_step, event)
+
+    def stop(self) -> None:
+        return None
+
+
+class MultiLogger(BaseLogger):
+    def __init__(self, loggers: List[BaseLogger]):
+        self.loggers = loggers
+
+    def log_stat(self, key, value, step, eval_step, event) -> None:
+        for logger in self.loggers:
+            logger.log_stat(key, value, step, eval_step, event)
+
+    def log_dict(self, data, step, eval_step, event) -> None:
+        for logger in self.loggers:
+            logger.log_dict(data, step, eval_step, event)
+
+    def stop(self) -> None:
+        for logger in self.loggers:
+            logger.stop()
+
+
+class ConsoleLogger(BaseLogger):
+    _EVENT_COLOURS = {
+        LogEvent.TRAIN: Fore.MAGENTA,
+        LogEvent.EVAL: Fore.GREEN,
+        LogEvent.ABSOLUTE: Fore.BLUE,
+        LogEvent.ACT: Fore.CYAN,
+        LogEvent.MISC: Fore.YELLOW,
+    }
+
+    def __init__(self, cfg, unique_token: str):
+        self.logger = logging.getLogger("mava_tpu")
+        self.logger.handlers = []
+        handler = logging.StreamHandler()
+        handler.setFormatter(logging.Formatter("%(message)s"))
+        self.logger.addHandler(handler)
+        self.logger.setLevel("INFO")
+        self.logger.propagate = False
+
+    def log_stat(self, key, value, step, eval_step, event) -> None:
+        colour = self._EVENT_COLOURS[event]
+        key = key.replace("_", " ").capitalize()
+        self.logger.info(
+            f"{colour}{Style.BRIGHT}{event.value.upper()} - {key}: {value:.3f}"
+            f"{Style.RESET_ALL}"
+        )
+
+    def log_dict(self, data, step, eval_step, event) -> None:
+        flat = _flatten(data, sep=" ")
+        colour = self._EVENT_COLOURS[event]
+        parts = []
+        for k, v in flat.items():
+            v = v.item() if isinstance(v, (jax.Array, np.ndarray)) else v
+            text = f"{v:.3f}" if isinstance(v, float) else str(v)
+            parts.append(f"{k.replace('_', ' ').capitalize()}: {text}")
+        self.logger.info(
+            f"{colour}{Style.BRIGHT}{event.value.upper()} - "
+            f"{' | '.join(parts)}{Style.RESET_ALL}"
+        )
+
+
+class TensorboardLogger(BaseLogger):
+    def __init__(self, cfg, unique_token: str):
+        from mava_tpu.utils.tbwriter import TensorboardWriter
+
+        path = os.path.join(
+            cfg.logger.base_exp_path,
+            "tensorboard",
+            cfg.logger.system_name,
+            unique_token,
+        )
+        self.writer = TensorboardWriter(path)
+
+    def log_stat(self, key, value, step, eval_step, event) -> None:
+        t = step if event != LogEvent.EVAL else eval_step
+        value = value.item() if isinstance(value, (jax.Array, np.ndarray)) else value
+        if isinstance(value, (int, float)):
+            self.writer.scalar(f"{event.value}/{key}", value, t)
+
+    def stop(self) -> None:
+        self.writer.close()
+
+
+class JsonLogger(BaseLogger):
+    """marl-eval-format JSON (Gorsane et al. 2022), reference `logger.py:211-251`.
+
+    File structure:
+      {env_name: {task_name: {algorithm: {run_<seed>: {
+          step_<eval_idx>: {"step_count": t, <metric>: value, ...},
+          absolute_metrics: {...}}}}}}
+    """
+
+    _METRICS_TO_LOG = ["episode_return/mean", "win_rate", "steps_per_second"]
+
+    def __init__(self, cfg, unique_token: str):
+        json_path = cfg.logger.kwargs.get("json_path")
+        if json_path:
+            base = os.path.join(cfg.logger.base_exp_path, "json", json_path)
+        else:
+            base = os.path.join(
+                cfg.logger.base_exp_path, "json", cfg.logger.system_name, unique_token
+            )
+        os.makedirs(base, exist_ok=True)
+        self.file_path = os.path.join(base, "metrics.json")
+        self.env_name = cfg.env.env_name
+        self.task_name = cfg.env.scenario.get("task_name", "default")
+        self.algorithm = cfg.logger.system_name
+        self.run_key = f"run_{cfg.system.seed}"
+        self._data: Dict = {}
+        if os.path.exists(self.file_path):
+            with open(self.file_path) as f:
+                try:
+                    self._data = json.load(f)
+                except json.JSONDecodeError:
+                    self._data = {}
+
+    def _entry(self, step_key: str) -> Dict:
+        return (
+            self._data.setdefault(self.env_name, {})
+            .setdefault(self.task_name, {})
+            .setdefault(self.algorithm, {})
+            .setdefault(self.run_key, {})
+            .setdefault(step_key, {})
+        )
+
+    def log_stat(self, key, value, step, eval_step, event) -> None:
+        if key not in self._METRICS_TO_LOG:
+            return
+        if event not in (LogEvent.EVAL, LogEvent.ABSOLUTE):
+            return
+        if "/" in key:
+            key = "_".join(reversed(key.split("/")))
+        value = value.item() if isinstance(value, (jax.Array, np.ndarray)) else value
+        step_key = (
+            "absolute_metrics" if event == LogEvent.ABSOLUTE else f"step_{eval_step}"
+        )
+        entry = self._entry(step_key)
+        entry["step_count"] = int(step)
+        entry.setdefault(key, []).append(value)
+        self._write()
+
+    def _write(self) -> None:
+        with open(self.file_path, "w") as f:
+            json.dump(self._data, f, indent=2)
+
+
+class MavaLogger:
+    """Facade: win-rate computation + describe() aggregation + backend fan-out."""
+
+    def __init__(self, config):
+        self.cfg = config
+        loggers: List[BaseLogger] = []
+        unique_token = datetime.now().strftime("%Y%m%d%H%M%S")
+        is_main_process = jax.process_index() == 0
+        if is_main_process:
+            if config.logger.get("use_neptune"):
+                raise RuntimeError(
+                    "Neptune is not available in this build; use tb/json/console."
+                )
+            if config.logger.get("use_tb"):
+                loggers.append(TensorboardLogger(config, unique_token))
+            if config.logger.get("use_json"):
+                loggers.append(JsonLogger(config, unique_token))
+            if config.logger.get("use_console", True):
+                loggers.append(ConsoleLogger(config, unique_token))
+        self.logger: BaseLogger = MultiLogger(loggers)
+
+    def log(self, metrics: Dict, t: int, t_eval: int, event: LogEvent) -> None:
+        if "won_episode" in metrics:
+            metrics = self.calc_winrate(metrics, event)
+
+        if event == LogEvent.TRAIN:
+            metrics = jax.tree.map(np.mean, metrics)
+        else:
+            metrics = jax.tree.map(describe, metrics)
+        self.logger.log_dict(metrics, t, t_eval, event)
+
+    def calc_winrate(self, episode_metrics: Dict, event: LogEvent) -> Dict:
+        if event == LogEvent.ABSOLUTE:
+            n_episodes = self.cfg.arch.num_eval_episodes * 10
+        else:
+            n_episodes = self.cfg.arch.num_eval_episodes
+        episode_metrics = dict(episode_metrics)
+        n_won = np.sum(episode_metrics.pop("won_episode"))
+        episode_metrics["win_rate"] = (n_won / n_episodes) * 100
+        return episode_metrics
+
+    def stop(self) -> None:
+        self.logger.stop()
