@@ -1,16 +1,15 @@
-"""Feedforward Independent PPO (ff-IPPO).
+"""Recurrent (GRU) Independent PPO — rec-IPPO (and rec-MAPPO via `centralised_critic`).
 
-Capability parity with reference `mava/systems/ppo/ff_ippo.py` — jitted rollout scan ->
-GAE -> minibatched clipped-PPO epochs, fused into one compiled megastep — rebuilt on the
-mesh runtime:
+Capability parity with reference `mava/systems/ppo/rec_ippo.py` / `rec_mappo.py`:
+rollout carries actor+critic hidden states with carry-reset on episode boundaries,
+GAE carries `next_done`, the loss re-runs the RNN from each chunk's stored initial
+hidden state, and minibatches shuffle whole env/chunk sequences (never time steps).
 
-  * the learner is written for ONE shard of environments and `shard_map`ped over the
-    `data` mesh axis (`mava_tpu/parallel/mesh.py`); gradients and loss metrics sync
-    with a single `lax.pmean('data')` over ICI (the reference needed two pmeans,
-    `ff_ippo.py:239-253`, because of its extra vmap-DP "update_batch_size" axis — that
-    axis does not exist here, per-chip batching is real batching);
-  * params/optimizer state are replicated, env state / rollout data sharded on envs;
-  * the N-chip program is identical to the 1-chip program.
+Rebuilt on the mesh runtime (see ff_ippo.py for the SPMD layout). One deliberate
+deviation: chunked-BPTT minibatching uses time-CONTIGUOUS chunks
+((T,E) -> (chunk, n_chunks*E) via an explicit chunk split + transpose), where the
+reference's single reshape (`rec_ippo.py:348-356`) produces time-strided chunks.
+Both are identical at the default `recurrent_chunk_size = rollout_length`.
 """
 
 from __future__ import annotations
@@ -25,11 +24,13 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from mava_tpu import envs as environments
-from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
-from mava_tpu.networks import FeedForwardActor as Actor
-from mava_tpu.networks import FeedForwardValueNet as Critic
+from mava_tpu.evaluator import get_eval_fn, get_num_eval_envs, make_rec_eval_act_fn
+from mava_tpu.networks import RecurrentActor as Actor
+from mava_tpu.networks import RecurrentValueNet as Critic
+from mava_tpu.networks import ScannedRNN
 from mava_tpu.networks.factory import make_action_head, make_torso
-from mava_tpu.ops import calculate_gae, clipped_ppo_policy_loss, clipped_value_loss
+from mava_tpu.ops import clipped_ppo_policy_loss, clipped_value_loss
+from mava_tpu.ops.gae import calculate_gae_with_next_done
 from mava_tpu.parallel import (
     DATA_AXIS,
     build_learner,
@@ -38,11 +39,16 @@ from mava_tpu.parallel import (
     replicate_sharding,
     shard_leading_axis,
 )
-from mava_tpu.systems.ppo.types import LearnerState, OptStates, Params, PPOTransition
+from mava_tpu.systems.ppo.types import (
+    HiddenStates,
+    OptStates,
+    Params,
+    RNNLearnerState,
+    RNNPPOTransition,
+)
 from mava_tpu.types import ExperimentOutput, LearnerFn, MarlEnv
 from mava_tpu.utils.checkpointing import Checkpointer
 from mava_tpu.utils.config import Config, load_config
-from mava_tpu.utils.jax_utils import merge_leading_dims
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.utils.training import make_learning_rate, make_optimizer
@@ -54,47 +60,78 @@ def get_learner_fn(
     apply_fns: Tuple[Callable, Callable],
     update_fns: Tuple[Callable, Callable],
     config: Config,
-) -> LearnerFn[LearnerState]:
-    """Build the per-shard learner function (one device's slice of envs)."""
+) -> LearnerFn[RNNLearnerState]:
     actor_apply_fn, critic_apply_fn = apply_fns
     actor_update_fn, critic_update_fn = update_fns
 
-    def _update_step(learner_state: LearnerState, _: Any) -> Tuple[LearnerState, Tuple]:
+    def _update_step(
+        learner_state: RNNLearnerState, _: Any
+    ) -> Tuple[RNNLearnerState, Tuple]:
         def _env_step(
-            learner_state: LearnerState, _: Any
-        ) -> Tuple[LearnerState, PPOTransition]:
-            params, opt_states, key, env_state, last_timestep = learner_state
+            learner_state: RNNLearnerState, _: Any
+        ) -> Tuple[RNNLearnerState, RNNPPOTransition]:
+            (params, opt_states, key, env_state, last_timestep, last_done,
+             last_hstates) = learner_state
 
             key, policy_key = jax.random.split(key)
-            actor_policy = actor_apply_fn(params.actor_params, last_timestep.observation)
-            value = critic_apply_fn(params.critic_params, last_timestep.observation)
+
+            # Networks consume one time slice: add a leading time dim of 1.
+            batched_observation = jax.tree.map(
+                lambda x: x[jnp.newaxis, :], last_timestep.observation
+            )
+            ac_in = (batched_observation, last_done[jnp.newaxis, :])
+
+            policy_hidden_state, actor_policy = actor_apply_fn(
+                params.actor_params, last_hstates.policy_hidden_state, ac_in
+            )
+            critic_hidden_state, value = critic_apply_fn(
+                params.critic_params, last_hstates.critic_hidden_state, ac_in
+            )
+
             action = actor_policy.sample(seed=policy_key)
             log_prob = actor_policy.log_prob(action)
+            value, action, log_prob = (
+                value.squeeze(0), action.squeeze(0), log_prob.squeeze(0),
+            )
 
             env_state, timestep = jax.vmap(env.step)(env_state, action)
 
             done = jnp.repeat(
                 timestep.last()[:, None], config.system.num_agents, axis=1
-            ).astype(jnp.float32)
+            )
             info = timestep.extras["episode_metrics"]
 
-            transition = PPOTransition(
-                done, action, value, timestep.reward, log_prob,
-                last_timestep.observation, info,
+            hstates = HiddenStates(policy_hidden_state, critic_hidden_state)
+            transition = RNNPPOTransition(
+                last_done, action, value, timestep.reward, log_prob,
+                last_timestep.observation, last_hstates, info,
             )
-            learner_state = LearnerState(params, opt_states, key, env_state, timestep)
+            learner_state = RNNLearnerState(
+                params, opt_states, key, env_state, timestep, done, hstates
+            )
             return learner_state, transition
 
         learner_state, traj_batch = jax.lax.scan(
             _env_step, learner_state, None, config.system.rollout_length
         )
 
-        params, opt_states, key, env_state, last_timestep = learner_state
-        last_val = critic_apply_fn(params.critic_params, last_timestep.observation)
-        advantages, targets = calculate_gae(
+        (params, opt_states, key, env_state, last_timestep, last_done,
+         hstates) = learner_state
+
+        batched_last_observation = jax.tree.map(
+            lambda x: x[jnp.newaxis, :], last_timestep.observation
+        )
+        ac_in = (batched_last_observation, last_done[jnp.newaxis, :])
+        _, last_val = critic_apply_fn(
+            params.critic_params, hstates.critic_hidden_state, ac_in
+        )
+        last_val = last_val.squeeze(0)
+
+        advantages, targets = calculate_gae_with_next_done(
             traj_batch.reward,
             traj_batch.value,
-            traj_batch.done,
+            traj_batch.done.astype(jnp.float32),
+            last_done.astype(jnp.float32),
             last_val,
             config.system.gamma,
             config.system.gae_lambda,
@@ -106,7 +143,13 @@ def get_learner_fn(
                 traj_batch, advantages, targets = batch_info
 
                 def _actor_loss_fn(actor_params, traj_batch, gae, entropy_key):
-                    actor_policy = actor_apply_fn(actor_params, traj_batch.obs)
+                    obs_and_done = (traj_batch.obs, traj_batch.done)
+                    # Re-run the RNN from the chunk-initial hidden state.
+                    _, actor_policy = actor_apply_fn(
+                        actor_params,
+                        traj_batch.hstates.policy_hidden_state[0],
+                        obs_and_done,
+                    )
                     log_prob = actor_policy.log_prob(traj_batch.action)
                     loss_actor = clipped_ppo_policy_loss(
                         log_prob, traj_batch.log_prob, gae, config.system.clip_eps
@@ -116,7 +159,12 @@ def get_learner_fn(
                     return total, (loss_actor, entropy)
 
                 def _critic_loss_fn(critic_params, traj_batch, targets):
-                    value = critic_apply_fn(critic_params, traj_batch.obs)
+                    obs_and_done = (traj_batch.obs, traj_batch.done)
+                    _, value = critic_apply_fn(
+                        critic_params,
+                        traj_batch.hstates.critic_hidden_state[0],
+                        obs_and_done,
+                    )
                     value_loss = clipped_value_loss(
                         value, traj_batch.value, targets, config.system.clip_eps
                     )
@@ -132,7 +180,6 @@ def get_learner_fn(
                     params.critic_params, traj_batch, targets
                 )
 
-                # One all-reduce over the mesh (ICI); per-chip batch is already real.
                 (actor_grads, actor_loss_info, critic_grads, critic_loss_info) = (
                     jax.lax.pmean(
                         (actor_grads, actor_loss_info, critic_grads, critic_loss_info),
@@ -166,18 +213,27 @@ def get_learner_fn(
             params, opt_states, traj_batch, advantages, targets, key = update_state
             key, shuffle_key = jax.random.split(key)
 
-            # Shuffle (T, E) -> (T*E,) and split into minibatches.
-            batch_size = config.system.rollout_length * config.arch.num_envs
-            permutation = jax.random.permutation(shuffle_key, batch_size)
+            # Chunked BPTT: split the rollout into contiguous time chunks, fold the
+            # chunk axis into the env/batch axis, shuffle whole sequences.
+            chunk = config.system.recurrent_chunk_size
+            num_chunks = config.system.rollout_length // chunk
             batch = (traj_batch, advantages, targets)
-            batch = jax.tree.map(lambda x: merge_leading_dims(x, 2), batch)
-            shuffled = jax.tree.map(lambda x: jnp.take(x, permutation, axis=0), batch)
-            minibatches = jax.tree.map(
+            batch = jax.tree.map(
+                lambda x: x.reshape(num_chunks, chunk, *x.shape[1:])
+                .swapaxes(0, 1)
+                .reshape(chunk, num_chunks * x.shape[1], *x.shape[2:]),
+                batch,
+            )
+            num_sequences = config.arch.num_envs * num_chunks
+            permutation = jax.random.permutation(shuffle_key, num_sequences)
+            shuffled = jax.tree.map(lambda x: jnp.take(x, permutation, axis=1), batch)
+            reshaped = jax.tree.map(
                 lambda x: jnp.reshape(
-                    x, (config.system.num_minibatches, -1, *x.shape[1:])
+                    x, (x.shape[0], config.system.num_minibatches, -1, *x.shape[2:])
                 ),
                 shuffled,
             )
+            minibatches = jax.tree.map(lambda x: jnp.swapaxes(x, 1, 0), reshaped)
 
             (params, opt_states, key), loss_info = jax.lax.scan(
                 _update_minibatch, (params, opt_states, key), minibatches
@@ -190,20 +246,22 @@ def get_learner_fn(
         )
 
         params, opt_states, traj_batch, advantages, targets, key = update_state
-        learner_state = LearnerState(params, opt_states, key, env_state, last_timestep)
+        learner_state = RNNLearnerState(
+            params, opt_states, key, env_state, last_timestep, last_done, hstates
+        )
         return learner_state, (traj_batch.info, loss_info)
 
-    def learner_fn(learner_state: LearnerState) -> ExperimentOutput[LearnerState]:
-        # Per-shard entry: key arrives as the (1, 2) slice of the (D, 2) key array.
-        params, opt_states, key, env_state, timestep = learner_state
-        state = LearnerState(params, opt_states, key[0], env_state, timestep)
-
+    def learner_fn(learner_state: RNNLearnerState) -> ExperimentOutput[RNNLearnerState]:
+        (params, opt_states, key, env_state, timestep, dones, hstates) = learner_state
+        state = RNNLearnerState(
+            params, opt_states, key[0], env_state, timestep, dones, hstates
+        )
         state, (episode_info, loss_info) = jax.lax.scan(
             _update_step, state, None, config.system.num_updates_per_eval
         )
-        state = LearnerState(
+        state = RNNLearnerState(
             state.params, state.opt_states, state.key[None], state.env_state,
-            state.timestep,
+            state.timestep, state.dones, state.hstates,
         )
         return ExperimentOutput(
             learner_state=state,
@@ -216,43 +274,64 @@ def get_learner_fn(
 
 def learner_setup(
     env: MarlEnv, keys: Tuple, config: Config, mesh, centralised_critic: bool = False
-) -> Tuple[Callable, Any, LearnerState]:
+) -> Tuple[Callable, Any, RNNLearnerState]:
     n_devices = num_learner_devices(mesh)
-    config.system.num_agents = env.num_agents
+    num_agents = env.num_agents
+    config.system.num_agents = num_agents
 
     key, actor_net_key, critic_net_key = keys
 
-    actor_torso = make_torso(config.network.actor_network.pre_torso)
-    action_head = make_action_head(config.network.action_head, env.action_dim)
-    critic_torso = make_torso(config.network.critic_network.pre_torso)
-    actor_network = Actor(torso=actor_torso, action_head=action_head)
-    critic_network = Critic(torso=critic_torso, centralised_critic=centralised_critic)
+    actor_network = Actor(
+        pre_torso=make_torso(config.network.actor_network.pre_torso),
+        post_torso=make_torso(config.network.actor_network.post_torso),
+        action_head=make_action_head(config.network.action_head, env.action_dim),
+        hidden_state_dim=config.network.hidden_state_dim,
+    )
+    critic_network = Critic(
+        pre_torso=make_torso(config.network.critic_network.pre_torso),
+        post_torso=make_torso(config.network.critic_network.post_torso),
+        centralised_critic=centralised_critic,
+        hidden_state_dim=config.network.hidden_state_dim,
+    )
 
     actor_lr = make_learning_rate(config.system.actor_lr, config)
     critic_lr = make_learning_rate(config.system.critic_lr, config)
     actor_optim = make_optimizer(actor_lr, config.system.max_grad_norm)
     critic_optim = make_optimizer(critic_lr, config.system.max_grad_norm)
 
-    obs = env.observation_spec().generate_value()
-    init_x = jax.tree.map(lambda x: x[jnp.newaxis, ...], obs)
+    init_obs = env.observation_spec().generate_value()
+    init_obs = jax.tree.map(
+        lambda x: jnp.repeat(x[jnp.newaxis, ...], config.arch.num_envs, axis=0),
+        init_obs,
+    )
+    init_obs = jax.tree.map(lambda x: x[jnp.newaxis, ...], init_obs)
+    init_done = jnp.zeros((1, config.arch.num_envs, num_agents), dtype=bool)
+    init_x = (init_obs, init_done)
 
-    actor_params = actor_network.init(actor_net_key, init_x)
+    init_policy_hstate = ScannedRNN.initialize_carry(
+        (config.arch.num_envs, num_agents), config.network.hidden_state_dim
+    )
+    init_critic_hstate = ScannedRNN.initialize_carry(
+        (config.arch.num_envs, num_agents), config.network.hidden_state_dim
+    )
+
+    actor_params = actor_network.init(actor_net_key, init_policy_hstate, init_x)
     actor_opt_state = actor_optim.init(actor_params)
-    critic_params = critic_network.init(critic_net_key, init_x)
+    critic_params = critic_network.init(critic_net_key, init_critic_hstate, init_x)
     critic_opt_state = critic_optim.init(critic_params)
-    params = Params(actor_params, critic_params)
 
     apply_fns = (actor_network.apply, critic_network.apply)
     update_fns = (actor_optim.update, critic_optim.update)
 
-    # Per-shard learner, mapped over the data mesh.
     learner = get_learner_fn(env, apply_fns, update_fns, config)
-    state_specs = LearnerState(
+    state_specs = RNNLearnerState(
         params=P(),
         opt_states=P(),
         key=P(DATA_AXIS),
         env_state=P(DATA_AXIS),
         timestep=P(DATA_AXIS),
+        dones=P(DATA_AXIS),
+        hstates=P(DATA_AXIS),
     )
     out_specs = ExperimentOutput(
         learner_state=state_specs,
@@ -267,17 +346,31 @@ def learner_setup(
         donate=config.arch.get("donate_buffers", False),
     )
 
-    # Initialise env states: one global reset sharded over the env axis.
-    key, *env_keys = jax.random.split(key, n_devices * config.arch.num_envs + 1)
-    env_states, timesteps = jax.vmap(env.reset)(jnp.stack(env_keys))
+    params = Params(actor_params, critic_params)
+    hstates = HiddenStates(init_policy_hstate, init_critic_hstate)
 
     if config.logger.checkpointing.load_model:
         loaded_checkpoint = Checkpointer(
             model_name=config.logger.system_name,
             **config.logger.checkpointing.load_args,
         )
-        restored_params, _ = loaded_checkpoint.restore_params(input_params=params)
+        restored_params, restored_hstates = loaded_checkpoint.restore_params(
+            input_params=params, restore_hstates=True, input_hstates=hstates
+        )
         params = restored_params
+        hstates = restored_hstates if restored_hstates else hstates
+
+    key, *env_keys = jax.random.split(key, n_devices * config.arch.num_envs + 1)
+    env_states, timesteps = jax.vmap(env.reset)(jnp.stack(env_keys))
+
+    dones = jnp.zeros((n_devices * config.arch.num_envs, num_agents), dtype=bool)
+    # Hidden states are per-env state: give them a global env leading axis.
+    global_hstates = jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (n_devices, *x.shape)).reshape(
+            n_devices * x.shape[0], *x.shape[1:]
+        ),
+        hstates,
+    )
 
     key, step_key = jax.random.split(key)
     step_keys = jax.random.split(step_key, n_devices)
@@ -285,28 +378,39 @@ def learner_setup(
     replicated = replicate_sharding(mesh)
     sharded = shard_leading_axis(mesh)
     params = jax.device_put(params, replicated)
-    opt_states = jax.device_put(
-        OptStates(actor_opt_state, critic_opt_state), replicated
-    )
+    opt_states = jax.device_put(OptStates(actor_opt_state, critic_opt_state), replicated)
     step_keys = jax.device_put(step_keys, sharded)
     env_states = jax.device_put(env_states, sharded)
     timesteps = jax.device_put(timesteps, sharded)
+    dones = jax.device_put(dones, sharded)
+    global_hstates = jax.device_put(global_hstates, sharded)
 
-    init_learner_state = LearnerState(
-        params, opt_states, step_keys, env_states, timesteps
+    init_learner_state = RNNLearnerState(
+        params=params,
+        opt_states=opt_states,
+        key=step_keys,
+        env_state=env_states,
+        timestep=timesteps,
+        dones=dones,
+        hstates=global_hstates,
     )
     return learn, actor_network, init_learner_state
 
 
 def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
-    """Train ff-IPPO (or ff-MAPPO when `centralised_critic`: the only deltas are the
-    critic consuming `global_state` and the env emitting it — the same two-line diff
-    as the reference's `ff_mappo.py:354,442`)."""
+    """Train rec-IPPO (rec-MAPPO when `centralised_critic`)."""
     config = copy.deepcopy(_config)
 
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
     config.arch.n_devices = n_devices
+
+    if config.system.get("recurrent_chunk_size") is None:
+        config.system.recurrent_chunk_size = config.system.rollout_length
+    else:
+        assert (
+            config.system.rollout_length % config.system.recurrent_chunk_size == 0
+        ), "Rollout length must be divisible by recurrent chunk size."
 
     env, eval_env = environments.make(config, add_global_state=centralised_critic)
 
@@ -318,7 +422,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         env, (key, actor_net_key, critic_net_key), config, mesh, centralised_critic
     )
 
-    eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
+    eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)
     evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
 
     config = check_total_timesteps(config)
@@ -345,6 +449,13 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
             **config.logger.checkpointing.save_args,
         )
 
+    # Per-shard eval hidden state (replicated into each shard by the evaluator).
+    eval_batch_size = get_num_eval_envs(config, absolute_metric=False)
+    eval_hs = ScannedRNN.initialize_carry(
+        (eval_batch_size, config.system.num_agents),
+        config.network.hidden_state_dim,
+    )
+
     max_episode_return = -jnp.inf
     best_params = None
     for eval_step in range(config.arch.num_evaluation):
@@ -366,7 +477,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
 
         trained_params = learner_output.learner_state.params.actor_params
         key_e, eval_key = jax.random.split(key_e)
-        eval_metrics = evaluator(trained_params, eval_key, {})
+        eval_metrics = evaluator(trained_params, eval_key, {"hidden_state": eval_hs})
         logger.log(eval_metrics, t, eval_step, LogEvent.EVAL)
         episode_return = jnp.mean(eval_metrics["episode_return"])
 
@@ -388,11 +499,18 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
     eval_performance = float(jnp.mean(eval_metrics[config.env.eval_metric]))
 
     if config.arch.absolute_metric:
+        eval_batch_size = get_num_eval_envs(config, absolute_metric=True)
+        eval_hs = ScannedRNN.initialize_carry(
+            (eval_batch_size, config.system.num_agents),
+            config.network.hidden_state_dim,
+        )
         abs_metric_evaluator = get_eval_fn(
             eval_env, eval_act_fn, config, mesh, absolute_metric=True
         )
         key_e, eval_key = jax.random.split(key_e)
-        eval_metrics = abs_metric_evaluator(best_params, eval_key, {})
+        eval_metrics = abs_metric_evaluator(
+            best_params, eval_key, {"hidden_state": eval_hs}
+        )
         t = int(steps_per_rollout * (eval_step + 1))
         logger.log(eval_metrics, t, eval_step, LogEvent.ABSOLUTE)
 
@@ -403,10 +521,9 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
 def main() -> float:
     import sys
 
-    overrides = sys.argv[1:]
-    cfg = load_config("default_ff_ippo", overrides)
+    cfg = load_config("default_rec_ippo", sys.argv[1:])
     performance = run_experiment(cfg)
-    print("ff-IPPO experiment completed.")
+    print("Recurrent IPPO experiment completed.")
     return performance
 
 

@@ -1,0 +1,89 @@
+"""Recurrent-training fidelity tests (SURVEY.md hard part #1).
+
+The core invariant behind chunked BPTT: running ScannedRNN step-by-step while storing
+carries, then re-running it in one scan from the stored initial carry, reproduces the
+exact same outputs. If this breaks, recurrent PPO silently trains on wrong hidden
+states.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mava_tpu.networks import ScannedRNN
+
+
+def _setup(T=6, B=3, A=2, F=8, H=8, seed=0):
+    rnn = ScannedRNN(hidden_state_dim=H)
+    xs = jax.random.normal(jax.random.PRNGKey(seed), (T, B, A, F))
+    resets = jax.random.bernoulli(jax.random.PRNGKey(seed + 1), 0.3, (T, B, A))
+    carry = ScannedRNN.initialize_carry((B, A), H)
+    params = rnn.init(jax.random.PRNGKey(seed + 2), carry, (xs, resets))
+    return rnn, params, xs, resets, carry
+
+
+def test_scan_equals_stepwise():
+    rnn, params, xs, resets, carry0 = _setup()
+    T = xs.shape[0]
+
+    # One scan over the full sequence.
+    final_carry, ys_scan = rnn.apply(params, carry0, (xs, resets))
+
+    # Step-by-step with carries threaded manually.
+    carry = carry0
+    ys = []
+    for t in range(T):
+        carry, y = rnn.apply(params, carry, (xs[t : t + 1], resets[t : t + 1]))
+        ys.append(y[0])
+    np.testing.assert_allclose(
+        np.asarray(ys_scan), np.stack(ys), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(final_carry), np.asarray(carry), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_reset_zeroes_carry():
+    rnn, params, xs, _, carry0 = _setup()
+    # All-resets at step 0: output must equal running from a zero carry.
+    big_carry = jnp.ones_like(carry0) * 3.0
+    resets = jnp.ones(xs.shape[:-1], dtype=bool)
+    _, y_reset = rnn.apply(
+        params, big_carry, (xs[:1], resets[:1])
+    )
+    _, y_zero = rnn.apply(
+        params, carry0, (xs[:1], jnp.zeros_like(resets[:1]))
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_reset), np.asarray(y_zero), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_chunked_rerun_matches_full_sequence():
+    """Re-running the RNN per contiguous chunk from the stored chunk-initial carry
+    must reproduce the full-sequence outputs — the property the rec-PPO loss relies
+    on (`rec_ippo.py` loss re-run from `hstates[0]`)."""
+    rnn, params, xs, resets, carry0 = _setup(T=8)
+    T, chunk = 8, 4
+
+    # Full pass, storing the carry before each step.
+    carry = carry0
+    carries = []
+    ys_full = []
+    for t in range(T):
+        carries.append(carry)
+        carry, y = rnn.apply(params, carry, (xs[t : t + 1], resets[t : t + 1]))
+        ys_full.append(y[0])
+    ys_full = np.stack(ys_full)
+
+    # Chunked re-run from stored chunk-initial carries.
+    for c in range(T // chunk):
+        start = c * chunk
+        _, ys_chunk = rnn.apply(
+            params,
+            carries[start],
+            (xs[start : start + chunk], resets[start : start + chunk]),
+        )
+        np.testing.assert_allclose(
+            np.asarray(ys_chunk), ys_full[start : start + chunk], rtol=1e-5, atol=1e-6
+        )

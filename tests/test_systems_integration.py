@@ -1,0 +1,42 @@
+"""System x env integration matrix, run end-to-end on the 8-device virtual mesh with
+shrunken configs (the reference's strategy, `test/integration_test.py`)."""
+
+import pytest
+
+from mava_tpu.utils.config import load_config
+
+
+def _run(module_name: str, default: str, overrides):
+    import importlib
+
+    module = importlib.import_module(f"mava_tpu.systems.{module_name}")
+    cfg = load_config(default, overrides)
+    return module.run_experiment(cfg)
+
+
+def test_ff_mappo(fast_config_overrides):
+    perf = _run(
+        "ppo.ff_mappo",
+        "default_ff_mappo",
+        fast_config_overrides + ["env.kwargs.time_limit=16", "env.scenario=tiny-4ag"],
+    )
+    assert isinstance(perf, float)
+
+
+def test_rec_ippo(fast_config_overrides):
+    perf = _run(
+        "ppo.rec_ippo",
+        "default_rec_ippo",
+        fast_config_overrides
+        + ["env.kwargs.time_limit=16", "system.recurrent_chunk_size=2"],
+    )
+    assert isinstance(perf, float)
+
+
+def test_rec_mappo(fast_config_overrides):
+    perf = _run(
+        "ppo.rec_mappo",
+        "default_rec_mappo",
+        fast_config_overrides + ["env.kwargs.time_limit=16"],
+    )
+    assert isinstance(perf, float)
