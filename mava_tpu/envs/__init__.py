@@ -59,11 +59,8 @@ def _make_lbf(config) -> Tuple[Any, Any]:
 
     kwargs = dict(config.env.scenario.get("task_config", {}))
     kwargs.update(config.env.get("kwargs", {}))
-    use_individual_rewards = kwargs.pop("use_individual_rewards", False)
-    return (
-        LevelBasedForaging(use_individual_rewards=use_individual_rewards, **kwargs),
-        LevelBasedForaging(use_individual_rewards=use_individual_rewards, **kwargs),
-    )
+    kwargs["use_individual_rewards"] = config.env.get("use_individual_rewards", False)
+    return LevelBasedForaging(**kwargs), LevelBasedForaging(**kwargs)
 
 
 @register("Smax")

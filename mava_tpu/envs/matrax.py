@@ -1,0 +1,136 @@
+"""Matrax: repeated two-player matrix games, implemented natively in JAX.
+
+The reference wraps the `matrax` package (`mava/wrappers/matrax.py:28-98`). Scenario
+names follow matrax conventions: `Climbing-{stateless|stateful}-v0` and
+`Penalty-{k}-{stateless|stateful}-v0`. Stateless games observe a zero vector; stateful
+games observe the joint action of the previous step. Action mask is all-ones
+(reference `matrax.py:38`).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from mava_tpu import specs
+from mava_tpu.types import (
+    Observation,
+    PRNGKey,
+    TimeStep,
+    restart,
+    transition,
+    truncation,
+)
+
+_CLIMBING = np.array(
+    [[11.0, -30.0, 0.0], [-30.0, 7.0, 6.0], [0.0, 0.0, 5.0]], dtype=np.float32
+)
+
+
+def _penalty(k: float) -> np.ndarray:
+    return np.array(
+        [[-k, 0.0, 10.0], [0.0, 2.0, 0.0], [10.0, 0.0, -k]], dtype=np.float32
+    )
+
+
+def _parse_task(task_name: str) -> Tuple[np.ndarray, bool]:
+    """Returns (payoff matrices (num_agents, rows, cols), stateful)."""
+    m = re.match(r"Climbing-(stateless|stateful)-v0", task_name)
+    if m:
+        payoff = np.stack([_CLIMBING, _CLIMBING])
+        return payoff, m.group(1) == "stateful"
+    m = re.match(r"Penalty-(\d+)-(stateless|stateful)-v0", task_name)
+    if m:
+        p = _penalty(float(m.group(1)))
+        return np.stack([p, p]), m.group(2) == "stateful"
+    raise ValueError(
+        f"Unknown Matrax task '{task_name}'. Supported: Climbing-*-v0, Penalty-k-*-v0."
+    )
+
+
+@struct.dataclass
+class MatraxState:
+    key: PRNGKey
+    step_count: jnp.ndarray
+    last_actions: jnp.ndarray  # (num_agents,) int32
+
+
+class Matrax:
+    def __init__(self, task_name: str = "Climbing-stateless-v0", time_limit: int = 10):
+        payoff, stateful = _parse_task(task_name)
+        self.payoff = jnp.asarray(payoff)  # (A, rows, cols)
+        self.stateful = stateful
+        self.num_agents = payoff.shape[0]
+        self.num_actions = payoff.shape[1]
+        self.action_dim = self.num_actions
+        self.time_limit = time_limit
+        self.num_obs_features = self.num_agents if stateful else 1
+
+    def _observe(self, state: MatraxState) -> Observation:
+        if self.stateful:
+            view = jnp.tile(
+                state.last_actions.astype(jnp.float32), (self.num_agents, 1)
+            )
+        else:
+            view = jnp.zeros((self.num_agents, 1), dtype=jnp.float32)
+        mask = jnp.ones((self.num_agents, self.num_actions), dtype=jnp.bool_)
+        return Observation(view, mask, jnp.repeat(state.step_count, self.num_agents))
+
+    def reset(self, key: PRNGKey) -> Tuple[MatraxState, TimeStep]:
+        state = MatraxState(
+            key=key,
+            step_count=jnp.int32(0),
+            last_actions=jnp.zeros(self.num_agents, dtype=jnp.int32),
+        )
+        return state, restart(self._observe(state), {}, self.num_agents)
+
+    def step(self, state: MatraxState, action: jnp.ndarray) -> Tuple[MatraxState, TimeStep]:
+        action = action.astype(jnp.int32)
+        reward = self.payoff[jnp.arange(self.num_agents), action[0], action[1]]
+        step_count = state.step_count + 1
+        new_state = MatraxState(
+            key=state.key, step_count=step_count, last_actions=action
+        )
+        obs = self._observe(new_state)
+        time_up = step_count >= self.time_limit
+        return new_state, jax.lax.cond(
+            time_up,
+            lambda: truncation(reward, obs, {}, self.num_agents),
+            lambda: transition(reward, obs, {}, self.num_agents),
+        )
+
+    def observation_spec(self) -> specs.TreeSpec:
+        return specs.TreeSpec(
+            Observation,
+            "ObservationSpec",
+            agents_view=specs.Array(
+                (self.num_agents, self.num_obs_features), jnp.float32, "agents_view"
+            ),
+            action_mask=specs.Array(
+                (self.num_agents, self.num_actions), jnp.bool_, "action_mask"
+            ),
+            step_count=specs.BoundedArray(
+                (self.num_agents,),
+                jnp.int32,
+                "step_count",
+                minimum=0,
+                maximum=self.time_limit,
+            ),
+        )
+
+    def action_spec(self) -> specs.DiscreteArray:
+        return specs.DiscreteArray(
+            (self.num_agents,), jnp.int32, "action", num_values=self.num_actions
+        )
+
+    def reward_spec(self) -> specs.Array:
+        return specs.Array((self.num_agents,), jnp.float32, "reward")
+
+    @property
+    def unwrapped(self) -> "Matrax":
+        return self

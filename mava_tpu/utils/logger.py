@@ -243,7 +243,9 @@ class MavaLogger:
             n_episodes = self.cfg.arch.num_eval_episodes * 10
         else:
             n_episodes = self.cfg.arch.num_eval_episodes
-        episode_metrics = dict(episode_metrics)
+        # NOTE: mutates the caller's dict on purpose — systems read
+        # eval_metrics["win_rate"] after logging, exactly as the reference relies on
+        # (`mava/utils/logger.py:82-101` + `ff_ippo.py:555`).
         n_won = np.sum(episode_metrics.pop("won_episode"))
         episode_metrics["win_rate"] = (n_won / n_episodes) * 100
         return episode_metrics
