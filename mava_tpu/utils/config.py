@@ -19,6 +19,7 @@ Semantics:
 from __future__ import annotations
 
 import copy
+import re
 import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
@@ -56,11 +57,26 @@ class Config(dict):
         }
 
 
+_NUMERIC_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+$")
+
+
+def _coerce_numbers(obj: Any) -> Any:
+    """YAML 1.1 reads `1e5` as a string (no dot); OmegaConf-style configs expect a
+    float. Coerce scientific-notation strings to floats recursively."""
+    if isinstance(obj, dict):
+        return {k: _coerce_numbers(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_coerce_numbers(v) for v in obj]
+    if isinstance(obj, str) and _NUMERIC_RE.match(obj):
+        return float(obj)
+    return obj
+
+
 def _load_yaml(path: Path) -> Dict[str, Any]:
     if not path.exists():
         raise FileNotFoundError(f"Config file not found: {path}")
     with open(path) as f:
-        return yaml.safe_load(f) or {}
+        return _coerce_numbers(yaml.safe_load(f) or {})
 
 
 def _load_group(group: str, option: str, config_dir: Path) -> Dict[str, Any]:

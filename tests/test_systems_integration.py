@@ -40,3 +40,75 @@ def test_rec_mappo(fast_config_overrides):
         fast_config_overrides + ["env.kwargs.time_limit=16"],
     )
     assert isinstance(perf, float)
+
+
+def test_rec_iql(fast_config_overrides):
+    perf = _run(
+        "q_learning.rec_iql",
+        "default_rec_iql",
+        fast_config_overrides
+        + [
+            "env.kwargs.time_limit=16",
+            "system.num_updates=8",
+            "system.rollout_length=2",
+            "system.buffer_size=64",
+            "system.min_buffer_size=4",
+            "system.sample_batch_size=4",
+            "system.sample_sequence_length=4",
+        ],
+    )
+    assert isinstance(perf, float)
+
+
+def test_ff_isac(fast_config_overrides):
+    perf = _run(
+        "sac.ff_isac",
+        "default_ff_isac",
+        fast_config_overrides
+        + [
+            "env.kwargs.time_limit=16",
+            "system.num_updates=16",
+            "system.rollout_length=2",
+            "system.buffer_size=128",
+            "system.explore_steps=8",
+            "system.batch_size=4",
+            "system.epochs=2",
+        ],
+    )
+    assert isinstance(perf, float)
+
+
+def test_ff_masac(fast_config_overrides):
+    perf = _run(
+        "sac.ff_masac",
+        "default_ff_masac",
+        fast_config_overrides
+        + [
+            "env.kwargs.time_limit=16",
+            "system.num_updates=16",
+            "system.rollout_length=2",
+            "system.buffer_size=128",
+            "system.explore_steps=8",
+            "system.batch_size=4",
+            "system.epochs=2",
+        ],
+    )
+    assert isinstance(perf, float)
+
+
+def test_ff_ippo_smax(fast_config_overrides):
+    perf = _run(
+        "ppo.ff_ippo",
+        "default_ff_ippo",
+        fast_config_overrides + ["env=smax", "env.scenario=2s3z"],
+    )
+    assert isinstance(perf, float)
+
+
+def test_ff_mappo_lbf(fast_config_overrides):
+    perf = _run(
+        "ppo.ff_mappo",
+        "default_ff_mappo",
+        fast_config_overrides + ["env=lbf"],
+    )
+    assert isinstance(perf, float)
