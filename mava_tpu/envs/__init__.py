@@ -21,6 +21,14 @@ from mava_tpu.envs.wrappers import (
 _REGISTRY: Dict[str, Callable[..., Any]] = {}
 
 
+def _env_kwargs(config) -> Dict[str, Any]:
+    """Merge scenario task_config + scenario env_kwargs + env-level kwargs."""
+    kwargs = dict(config.env.scenario.get("task_config", {}))
+    kwargs.update(config.env.scenario.get("env_kwargs", {}) or {})
+    kwargs.update(config.env.get("kwargs", {}) or {})
+    return kwargs
+
+
 def register(name: str) -> Callable:
     def deco(fn: Callable) -> Callable:
         _REGISTRY[name] = fn
@@ -48,8 +56,7 @@ def _add_extra_wrappers(train_env, eval_env, config, add_global_state: bool):
 def _make_rware(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.rware import RobotWarehouse
 
-    kwargs = dict(config.env.scenario.get("task_config", {}))
-    kwargs.update(config.env.get("kwargs", {}))
+    kwargs = _env_kwargs(config)
     return RobotWarehouse(**kwargs), RobotWarehouse(**kwargs)
 
 
@@ -57,8 +64,7 @@ def _make_rware(config) -> Tuple[Any, Any]:
 def _make_lbf(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.lbf import LevelBasedForaging
 
-    kwargs = dict(config.env.scenario.get("task_config", {}))
-    kwargs.update(config.env.get("kwargs", {}))
+    kwargs = _env_kwargs(config)
     kwargs["use_individual_rewards"] = config.env.get("use_individual_rewards", False)
     return LevelBasedForaging(**kwargs), LevelBasedForaging(**kwargs)
 
@@ -76,8 +82,7 @@ def _make_smax(config) -> Tuple[Any, Any]:
 def _make_matrax(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.matrax import Matrax
 
-    kwargs = dict(config.env.scenario.get("task_config", {}))
-    kwargs.update(config.env.get("kwargs", {}))
+    kwargs = _env_kwargs(config)
     return Matrax(**kwargs), Matrax(**kwargs)
 
 
@@ -85,8 +90,7 @@ def _make_matrax(config) -> Tuple[Any, Any]:
 def _make_cleaner(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.cleaner import Cleaner
 
-    kwargs = dict(config.env.scenario.get("task_config", {}))
-    kwargs.update(config.env.get("kwargs", {}))
+    kwargs = _env_kwargs(config)
     return Cleaner(**kwargs), Cleaner(**kwargs)
 
 
@@ -94,8 +98,7 @@ def _make_cleaner(config) -> Tuple[Any, Any]:
 def _make_connector(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.connector import MaConnector
 
-    kwargs = dict(config.env.scenario.get("task_config", {}))
-    kwargs.update(config.env.get("kwargs", {}))
+    kwargs = _env_kwargs(config)
     return MaConnector(**kwargs), MaConnector(**kwargs)
 
 
@@ -103,8 +106,7 @@ def _make_connector(config) -> Tuple[Any, Any]:
 def _make_maswarm(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.maswarm import MaSwarm
 
-    kwargs = dict(config.env.scenario.get("task_config", {}))
-    kwargs.update(config.env.get("kwargs", {}))
+    kwargs = _env_kwargs(config)
     return MaSwarm(**kwargs), MaSwarm(**kwargs)
 
 
@@ -112,8 +114,7 @@ def _make_maswarm(config) -> Tuple[Any, Any]:
 def _make_gigastep(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.gigastep import Gigastep
 
-    kwargs = dict(config.env.scenario.get("task_config", {}))
-    kwargs.update(config.env.get("kwargs", {}))
+    kwargs = _env_kwargs(config)
     return Gigastep(**kwargs), Gigastep(**kwargs)
 
 
