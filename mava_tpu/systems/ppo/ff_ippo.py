@@ -38,6 +38,8 @@ from mava_tpu.parallel import (
     replicate_sharding,
     shard_leading_axis,
 )
+from mava_tpu.parallel.distributed import sharded_env_reset
+from mava_tpu.utils.profiling import maybe_trace
 from mava_tpu.systems.ppo.types import LearnerState, OptStates, Params, PPOTransition
 from mava_tpu.types import ExperimentOutput, LearnerFn, MarlEnv
 from mava_tpu.utils.checkpointing import Checkpointer
@@ -54,8 +56,14 @@ def get_learner_fn(
     apply_fns: Tuple[Callable, Callable],
     update_fns: Tuple[Callable, Callable],
     config: Config,
+    return_trajectories: bool = False,
 ) -> LearnerFn[LearnerState]:
-    """Build the per-shard learner function (one device's slice of envs)."""
+    """Build the per-shard learner function (one device's slice of envs).
+
+    `return_trajectories` additionally returns the raw PPOTransition batch from each
+    update (the experience-recording variant, reference
+    `mava/advanced_usage/ff_ippo_store_experience.py:308-341`).
+    """
     actor_apply_fn, critic_apply_fn = apply_fns
     actor_update_fn, critic_update_fn = update_fns
 
@@ -191,20 +199,33 @@ def get_learner_fn(
 
         params, opt_states, traj_batch, advantages, targets, key = update_state
         learner_state = LearnerState(params, opt_states, key, env_state, last_timestep)
+        if return_trajectories:
+            return learner_state, ((traj_batch.info, loss_info), traj_batch)
         return learner_state, (traj_batch.info, loss_info)
 
-    def learner_fn(learner_state: LearnerState) -> ExperimentOutput[LearnerState]:
+    def learner_fn(learner_state: LearnerState):
         # Per-shard entry: key arrives as the (1, 2) slice of the (D, 2) key array.
         params, opt_states, key, env_state, timestep = learner_state
         state = LearnerState(params, opt_states, key[0], env_state, timestep)
 
-        state, (episode_info, loss_info) = jax.lax.scan(
+        state, outputs = jax.lax.scan(
             _update_step, state, None, config.system.num_updates_per_eval
         )
         state = LearnerState(
             state.params, state.opt_states, state.key[None], state.env_state,
             state.timestep,
         )
+        if return_trajectories:
+            (episode_info, loss_info), trajectories = outputs
+            return (
+                ExperimentOutput(
+                    learner_state=state,
+                    episode_metrics=episode_info,
+                    train_metrics=loss_info,
+                ),
+                trajectories,
+            )
+        episode_info, loss_info = outputs
         return ExperimentOutput(
             learner_state=state,
             episode_metrics=episode_info,
@@ -267,9 +288,12 @@ def learner_setup(
         donate=config.arch.get("donate_buffers", False),
     )
 
-    # Initialise env states: one global reset sharded over the env axis.
-    key, *env_keys = jax.random.split(key, n_devices * config.arch.num_envs + 1)
-    env_states, timesteps = jax.vmap(env.reset)(jnp.stack(env_keys))
+    # Initialise env states sharded over the env axis (per-host local resets on a
+    # pod slice — see parallel/distributed.py).
+    key, env_key = jax.random.split(key)
+    env_states, timesteps = sharded_env_reset(
+        env, env_key, n_devices * config.arch.num_envs, mesh
+    )
 
     if config.logger.checkpointing.load_model:
         loaded_checkpoint = Checkpointer(
@@ -289,8 +313,6 @@ def learner_setup(
         OptStates(actor_opt_state, critic_opt_state), replicated
     )
     step_keys = jax.device_put(step_keys, sharded)
-    env_states = jax.device_put(env_states, sharded)
-    timesteps = jax.device_put(timesteps, sharded)
 
     init_learner_state = LearnerState(
         params, opt_states, step_keys, env_states, timesteps
@@ -349,8 +371,9 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
     best_params = None
     for eval_step in range(config.arch.num_evaluation):
         start_time = time.time()
-        learner_output = learn(learner_state)
-        jax.block_until_ready(learner_output)
+        with maybe_trace(config, eval_step):
+            learner_output = learn(learner_state)
+            jax.block_until_ready(learner_output)
 
         elapsed_time = time.time() - start_time
         t = int(steps_per_rollout * (eval_step + 1))

@@ -112,3 +112,22 @@ def test_ff_mappo_lbf(fast_config_overrides):
         fast_config_overrides + ["env=lbf"],
     )
     assert isinstance(perf, float)
+
+
+def test_store_experience(fast_config_overrides, tmp_path, monkeypatch):
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    from mava_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "default_ff_ippo", fast_config_overrides + ["env.kwargs.time_limit=16"]
+    )
+    cfg.logger.system_name = "store_exp_test"
+    from mava_tpu.advanced_usage.ff_ippo_store_experience import run_experiment
+
+    perf = run_experiment(cfg)
+    assert isinstance(perf, float)
+    vault_dirs = list((tmp_path / "vaults" / "store_exp_test").iterdir())
+    assert len(vault_dirs) == 1
+    assert (vault_dirs[0] / "manifest.json").exists()
