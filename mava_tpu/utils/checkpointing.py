@@ -94,7 +94,8 @@ class Checkpointer:
 
     def restore_state(self, template: Any, timestep: Optional[int] = None) -> Any:
         """Restore a full learner-state pytree shaped like `template`."""
-        metadata = self._manager.metadata() or {}
+        root_metadata = self._manager.metadata()
+        metadata = getattr(root_metadata, "custom_metadata", None) or {}
         version = float(metadata.get("checkpointer_version", CHECKPOINTER_VERSION))
         assert int(version) == int(CHECKPOINTER_VERSION), (
             f"Incompatible checkpoint major version: saved {version}, "
@@ -127,4 +128,5 @@ class Checkpointer:
         self._manager.close()
 
     def get_cfg(self) -> dict:
-        return dict(self._manager.metadata() or {})
+        root_metadata = self._manager.metadata()
+        return dict(getattr(root_metadata, "custom_metadata", None) or {})
