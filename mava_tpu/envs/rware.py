@@ -20,8 +20,12 @@ from the published RWARE rules, with the Jumanji variant's semantics:
   * rewards/discounts are already per-agent (the repetition the reference applies in
     `RwareWrapper.modify_timestep`, `mava/wrappers/jumanji.py:135-144`).
 
-Everything is static-shape and vmap/scan-friendly: grids are rebuilt each step with
-scatters, windows gathered with dynamic slices.
+Everything is static-shape and vmap/scan-friendly. The step is written TPU-first:
+no scatters in the hot path — occupancy grids and lookups are built from iota
+comparisons and tiny einsums (these fuse into vector ops on the VPU/MXU, whereas
+batched scatters serialize on TPU), the per-agent delivery loop is unrolled at trace
+time, and the terminal/truncation branches collapse into one fused timestep build
+instead of a 3-way `lax.cond` over the whole observation pytree.
 """
 
 from __future__ import annotations
@@ -34,15 +38,7 @@ import numpy as np
 from flax import struct
 
 from mava_tpu import specs
-from mava_tpu.types import (
-    Observation,
-    PRNGKey,
-    TimeStep,
-    restart,
-    termination,
-    transition,
-    truncation,
-)
+from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 # Direction encoding: 0=up, 1=right, 2=down, 3=left (clockwise).
 _DIR_VECS = np.array([[-1, 0], [0, 1], [1, 0], [0, -1]], dtype=np.int32)
@@ -116,60 +112,77 @@ class RobotWarehouse:
         self.num_shelves = int(shelf_cells.shape[0])
         self._init_shelf_pos = jnp.asarray(shelf_cells)
 
-        self._goal_grid = jnp.zeros((height, width), dtype=jnp.bool_)
-        self._goal_grid = self._goal_grid.at[goals[:, 0], goals[:, 1]].set(True)
+        self._goal_flat = jnp.asarray(goals[:, 0] * width + goals[:, 1])
+        self._storage_flat = jnp.asarray(storage_mask.reshape(-1))
+        self._shelf_iota = jnp.arange(self.num_shelves, dtype=jnp.int32)
 
         window = 2 * sensor_range + 1
+        # Sensor-window cell offsets, row-major (dy outer, dx inner) so the flattened
+        # per-cell features match a (window, window, 7) crop's reshape(-1).
+        dys, dxs = np.mgrid[-sensor_range : sensor_range + 1,
+                            -sensor_range : sensor_range + 1]
+        self._window_offsets = jnp.asarray(
+            np.stack([dys.ravel(), dxs.ravel()], axis=-1).astype(np.int32)
+        )  # (window*window, 2)
         self.num_obs_features = 3 + window * window * 7
 
     # ------------------------------------------------------------------ helpers
-    def _shelf_grid(self, shelf_pos: jnp.ndarray) -> jnp.ndarray:
-        """(H, W) int32: shelf id + 1 at the shelf's cell, 0 elsewhere."""
-        grid = jnp.zeros((self.height, self.width), dtype=jnp.int32)
-        ids = jnp.arange(self.num_shelves, dtype=jnp.int32) + 1
-        return grid.at[shelf_pos[:, 0], shelf_pos[:, 1]].set(ids)
+    def _flat(self, pos: jnp.ndarray) -> jnp.ndarray:
+        """(N, 2) (row, col) -> (N,) flat cell index."""
+        return pos[:, 0] * self.width + pos[:, 1]
+
+    def _shelf_id_at(
+        self, flat_shelf: jnp.ndarray, flat_query: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Shelf id + 1 at each queried cell (0 = empty). (Q, S) iota compare —
+        no grid build, no scatter/gather."""
+        hit = flat_query[:, None] == flat_shelf[None, :]
+        return jnp.sum(hit * (self._shelf_iota[None, :] + 1), axis=-1)
 
     def _observe(self, state: RwareState) -> Observation:
         a = self.num_agents
-        r = self.sensor_range
-        window = 2 * r + 1
 
-        shelf_grid = self._shelf_grid(state.shelf_pos)
-        requested_grid = jnp.zeros((self.height, self.width), dtype=jnp.float32)
-        requested_grid = requested_grid.at[
-            state.shelf_pos[:, 0], state.shelf_pos[:, 1]
-        ].set(state.shelf_requested.astype(jnp.float32))
+        flat_shelf = self._flat(state.shelf_pos)
+        flat_agent = self._flat(state.agent_pos)
 
-        agent_grid = jnp.zeros((self.height, self.width), dtype=jnp.float32)
-        agent_grid = agent_grid.at[state.agent_pos[:, 0], state.agent_pos[:, 1]].set(
-            1.0
-        )
-        dir_grid = jnp.zeros((self.height, self.width), dtype=jnp.int32)
-        dir_grid = dir_grid.at[state.agent_pos[:, 0], state.agent_pos[:, 1]].set(
-            state.agent_dir + 1
-        )
+        # Sensor windows without materialising any (H, W) grid: each window cell's
+        # features [agent, dir(4 one-hot), shelf, requested] come straight from
+        # (A·window², A) / (A·window², S) iota compares + one tiny einsum. No
+        # scatters, no pad, no batched gather — everything fuses on the VPU.
+        qpos = state.agent_pos[:, None, :] + self._window_offsets[None]  # (A, K, 2)
+        valid = (
+            (qpos[..., 0] >= 0)
+            & (qpos[..., 0] < self.height)
+            & (qpos[..., 1] >= 0)
+            & (qpos[..., 1] < self.width)
+        )  # (A, K)
+        flat_q = jnp.where(valid, qpos[..., 0] * self.width + qpos[..., 1], -1)
 
-        # Stack per-cell feature planes: [agent, dir(4 one-hot), shelf, requested].
-        dir_onehot = jax.nn.one_hot(dir_grid - 1, 4, dtype=jnp.float32) * agent_grid[
-            ..., None
-        ]
-        planes = jnp.concatenate(
+        eq_agent = flat_q[..., None] == flat_agent[None, None, :]  # (A, K, A)
+        eq_shelf = flat_q[..., None] == flat_shelf[None, None, :]  # (A, K, S)
+        dir_onehot = jax.nn.one_hot(state.agent_dir, 4, dtype=jnp.float32)  # (A, 4)
+
+        agent_f = jnp.any(eq_agent, axis=-1)  # (A, K)
+        dir_f = jnp.einsum(
+            "qka,ad->qkd", eq_agent.astype(jnp.float32), dir_onehot
+        )  # (A, K, 4)
+        shelf_f = jnp.any(eq_shelf, axis=-1)  # (A, K)
+        req_f = jnp.einsum(
+            "qks,s->qk",
+            eq_shelf.astype(jnp.float32),
+            state.shelf_requested.astype(jnp.float32),
+        )  # (A, K)
+
+        cell_features = jnp.concatenate(
             [
-                agent_grid[..., None],
-                dir_onehot,
-                (shelf_grid > 0).astype(jnp.float32)[..., None],
-                requested_grid[..., None],
+                agent_f[..., None].astype(jnp.float32),
+                dir_f,
+                shelf_f[..., None].astype(jnp.float32),
+                req_f[..., None],
             ],
             axis=-1,
-        )  # (H, W, 7)
-        padded = jnp.pad(planes, ((r, r), (r, r), (0, 0)))
-
-        def crop(pos: jnp.ndarray) -> jnp.ndarray:
-            return jax.lax.dynamic_slice(
-                padded, (pos[0], pos[1], 0), (window, window, 7)
-            ).reshape(-1)
-
-        windows = jax.vmap(crop)(state.agent_pos)  # (A, window*window*7)
+        )  # (A, K, 7)
+        windows = cell_features.reshape(a, -1)  # (A, window*window*7)
 
         own = jnp.concatenate(
             [
@@ -180,12 +193,12 @@ class RobotWarehouse:
         )  # (A, 3)
         agents_view = jnp.concatenate([own, windows], axis=-1)
 
-        action_mask = self._action_mask(state, shelf_grid)
+        action_mask = self._action_mask(state, flat_shelf)
         step_count = jnp.repeat(state.step_count, a)
         return Observation(agents_view, action_mask, step_count)
 
     def _action_mask(
-        self, state: RwareState, shelf_grid: jnp.ndarray
+        self, state: RwareState, flat_shelf: jnp.ndarray
     ) -> jnp.ndarray:
         target = state.agent_pos + _DIR_VECS_J[state.agent_dir]
         in_bounds = (
@@ -199,14 +212,13 @@ class RobotWarehouse:
             0,
             jnp.array([self.height - 1, self.width - 1], dtype=jnp.int32),
         )
-        shelf_at_target = shelf_grid[safe_target[:, 0], safe_target[:, 1]] > 0
+        shelf_at_target = self._shelf_id_at(flat_shelf, self._flat(safe_target)) > 0
         carrying = state.agent_carrying >= 0
         fwd_ok = in_bounds & ~(carrying & shelf_at_target)
 
-        shelf_here = (
-            shelf_grid[state.agent_pos[:, 0], state.agent_pos[:, 1]] > 0
-        )
-        on_storage = self._storage_mask[state.agent_pos[:, 0], state.agent_pos[:, 1]]
+        flat_here = self._flat(state.agent_pos)
+        shelf_here = self._shelf_id_at(flat_shelf, flat_here) > 0
+        on_storage = self._storage_flat[flat_here]
         toggle_ok = jnp.where(carrying, on_storage, shelf_here)
 
         ones = jnp.ones_like(fwd_ok)
@@ -216,22 +228,23 @@ class RobotWarehouse:
     def reset(self, key: PRNGKey) -> Tuple[RwareState, TimeStep]:
         key, pos_key, dir_key, req_key = jax.random.split(key, 4)
 
+        # Distinct uniform samples via top-k over iid uniforms (a uniform random
+        # k-subset) — far cheaper than random.choice(replace=False)'s full argsort,
+        # and this runs every step inside the vmapped AutoReset select.
         n_cells = self.height * self.width
-        cells = jax.random.choice(
-            pos_key, n_cells, shape=(self.num_agents,), replace=False
+        _, cells = jax.lax.top_k(
+            jax.random.uniform(pos_key, (n_cells,)), self.num_agents
         )
         agent_pos = jnp.stack([cells // self.width, cells % self.width], axis=-1)
         agent_pos = agent_pos.astype(jnp.int32)
         agent_dir = jax.random.randint(dir_key, (self.num_agents,), 0, 4)
 
-        requested_ids = jax.random.choice(
-            req_key,
-            self.num_shelves,
-            shape=(self.request_queue_size,),
-            replace=False,
+        req_scores, _ = jax.lax.top_k(
+            jax.random.uniform(req_key, (self.num_shelves,)),
+            self.request_queue_size,
         )
         shelf_requested = (
-            jnp.zeros(self.num_shelves, dtype=jnp.bool_).at[requested_ids].set(True)
+            jax.random.uniform(req_key, (self.num_shelves,)) >= req_scores[-1]
         )
 
         state = RwareState(
@@ -249,7 +262,7 @@ class RobotWarehouse:
         self, state: RwareState, action: jnp.ndarray
     ) -> Tuple[RwareState, TimeStep]:
         action = action.astype(jnp.int32)
-        shelf_grid = self._shelf_grid(state.shelf_pos)
+        flat_shelf_pre = self._flat(state.shelf_pos)
         carrying = state.agent_carrying >= 0
 
         # --- movement ---------------------------------------------------------
@@ -263,7 +276,7 @@ class RobotWarehouse:
         safe_fwd = jnp.clip(
             fwd, 0, jnp.array([self.height - 1, self.width - 1], dtype=jnp.int32)
         )
-        shelf_at_fwd = shelf_grid[safe_fwd[:, 0], safe_fwd[:, 1]] > 0
+        shelf_at_fwd = self._shelf_id_at(flat_shelf_pre, self._flat(safe_fwd)) > 0
         can_move = in_bounds & ~(carrying & shelf_at_fwd)
         moves = (action == FORWARD) & can_move
         new_pos = jnp.where(moves[:, None], safe_fwd, state.agent_pos)
@@ -273,11 +286,11 @@ class RobotWarehouse:
         new_dir = jnp.where(action == RIGHT, (new_dir + 1) % 4, new_dir)
 
         # --- collision detection (episode terminates) --------------------------
-        flat_new = new_pos[:, 0] * self.width + new_pos[:, 1]
+        flat_new = self._flat(new_pos)
         same_cell = (flat_new[:, None] == flat_new[None, :]) & ~jnp.eye(
             self.num_agents, dtype=jnp.bool_
         )
-        flat_old = state.agent_pos[:, 0] * self.width + state.agent_pos[:, 1]
+        flat_old = self._flat(state.agent_pos)
         swap = (
             (flat_new[:, None] == flat_old[None, :])
             & (flat_old[:, None] == flat_new[None, :])
@@ -285,20 +298,19 @@ class RobotWarehouse:
         )
         collision = jnp.any(same_cell) | jnp.any(swap)
 
-        # Carried shelves travel with their agent: scatter the new position into the
-        # carried shelf's row. Non-carrying / non-moving agents write to a padding row.
-        carried_id = jnp.clip(state.agent_carrying, 0, self.num_shelves - 1)
-        update_rows = jnp.where(carrying & moves, carried_id, self.num_shelves)
-        shelf_pos_padded = jnp.concatenate(
-            [state.shelf_pos, jnp.zeros((1, 2), dtype=jnp.int32)], axis=0
-        )
-        shelf_pos_padded = shelf_pos_padded.at[update_rows].set(new_pos)
-        shelf_pos = shelf_pos_padded[: self.num_shelves]
+        # Carried shelves travel with their agent — (S, A) compare-select instead of a
+        # scatter into the shelf table.
+        move_mat = (
+            state.agent_carrying[None, :] == self._shelf_iota[:, None]
+        ) & (carrying & moves)[None, :]  # (S, A)
+        moved = jnp.any(move_mat, axis=-1)
+        dest = jnp.einsum("sa,ac->sc", move_mat.astype(jnp.int32), new_pos)
+        shelf_pos = jnp.where(moved[:, None], dest, state.shelf_pos)
 
         # --- toggle load/unload -------------------------------------------------
-        shelf_grid_after = self._shelf_grid(shelf_pos)
-        shelf_here = shelf_grid_after[new_pos[:, 0], new_pos[:, 1]]  # id+1 or 0
-        on_storage = self._storage_mask[new_pos[:, 0], new_pos[:, 1]]
+        flat_shelf = self._flat(shelf_pos)
+        shelf_here = self._shelf_id_at(flat_shelf, flat_new)  # id+1 or 0
+        on_storage = self._storage_flat[flat_new]
         toggles = action == TOGGLE
 
         pickup = toggles & ~carrying & (shelf_here > 0)
@@ -306,33 +318,31 @@ class RobotWarehouse:
         new_carrying = jnp.where(pickup, shelf_here - 1, state.agent_carrying)
         new_carrying = jnp.where(drop, -1, new_carrying)
 
-        # --- deliveries (sequential over agents for distinct new requests) -----
-        at_goal = self._goal_grid[new_pos[:, 0], new_pos[:, 1]]
+        # --- deliveries (sequential over agents for distinct new requests;
+        # unrolled at trace time — num_agents is static) ------------------------
+        at_goal = jnp.any(flat_new[:, None] == self._goal_flat[None, :], axis=-1)
         key = state.key
-
-        def deliver_one(i, carry):
-            requested, key, reward = carry
-            sid = jnp.clip(new_carrying[i], 0, self.num_shelves - 1)
-            do = (new_carrying[i] >= 0) & requested[sid] & at_goal[i]
+        requested = state.shelf_requested
+        team_reward = jnp.float32(0.0)
+        for i in range(self.num_agents):
             key, sub = jax.random.split(key)
+            sid = jnp.clip(new_carrying[i], 0, self.num_shelves - 1)
+            sid_onehot = self._shelf_iota == sid
+            do = (
+                (new_carrying[i] >= 0)
+                & jnp.any(requested & sid_onehot)
+                & at_goal[i]
+            )
             # New request: uniform over currently-unrequested shelves (the delivered
             # shelf is still marked requested here, so it is excluded).
             logits = jnp.where(~requested, 0.0, -jnp.inf)
             new_req = jax.random.categorical(sub, logits)
-            requested = jnp.where(
-                do, requested.at[new_req].set(True).at[sid].set(False), requested
-            )
-            reward = reward + do.astype(jnp.float32)
-            return requested, key, reward
+            updated = jnp.where(self._shelf_iota == new_req, True, requested)
+            updated = jnp.where(sid_onehot, False, updated)
+            requested = jnp.where(do, updated, requested)
+            team_reward = team_reward + do.astype(jnp.float32)
 
-        requested, key, team_reward = jax.lax.fori_loop(
-            0,
-            self.num_agents,
-            deliver_one,
-            (state.shelf_requested, key, jnp.float32(0.0)),
-        )
-
-        # --- bookkeeping --------------------------------------------------------
+        # --- bookkeeping: one fused timestep build (no lax.cond over the obs) ---
         step_count = state.step_count + 1
         new_state = RwareState(
             key=key,
@@ -347,14 +357,17 @@ class RobotWarehouse:
         reward = jnp.repeat(team_reward, self.num_agents)
 
         time_up = step_count >= self.time_limit
-        timestep = jax.lax.cond(
-            collision,
-            lambda: termination(reward, obs, {}, self.num_agents),
-            lambda: jax.lax.cond(
-                time_up,
-                lambda: truncation(reward, obs, {}, self.num_agents),
-                lambda: transition(reward, obs, {}, self.num_agents),
+        done = collision | time_up
+        # collision -> termination (discount 0); time_up -> truncation (discount 1).
+        timestep = TimeStep(
+            step_type=jnp.where(
+                done, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
             ),
+            reward=reward,
+            discount=jnp.where(collision, 0.0, 1.0)
+            * jnp.ones(self.num_agents, dtype=jnp.float32),
+            observation=obs,
+            extras={},
         )
         return new_state, timestep
 

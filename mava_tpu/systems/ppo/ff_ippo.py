@@ -108,7 +108,7 @@ def get_learner_fn(
             config.system.gae_lambda,
         )
 
-        def _update_epoch(update_state: Tuple, _: Any) -> Tuple:
+        def _update_epoch(update_state: Tuple, permutation: jnp.ndarray) -> Tuple:
             def _update_minibatch(train_state: Tuple, batch_info: Tuple) -> Tuple:
                 params, opt_states, key = train_state
                 traj_batch, advantages, targets = batch_info
@@ -172,11 +172,8 @@ def get_learner_fn(
                 return (new_params, new_opt_state, key), loss_info
 
             params, opt_states, traj_batch, advantages, targets, key = update_state
-            key, shuffle_key = jax.random.split(key)
 
             # Shuffle (T, E) -> (T*E,) and split into minibatches.
-            batch_size = config.system.rollout_length * config.arch.num_envs
-            permutation = jax.random.permutation(shuffle_key, batch_size)
             batch = (traj_batch, advantages, targets)
             batch = jax.tree.map(lambda x: merge_leading_dims(x, 2), batch)
             shuffled = jax.tree.map(lambda x: jnp.take(x, permutation, axis=0), batch)
@@ -192,9 +189,17 @@ def get_learner_fn(
             )
             return (params, opt_states, traj_batch, advantages, targets, key), loss_info
 
+        # All epoch shuffles generated up front as ONE batched sort — TPU sorts are
+        # expensive, and (ppo_epochs, N) batched sort costs about the same as one.
+        key, shuffle_key = jax.random.split(key)
+        batch_size = config.system.rollout_length * config.arch.num_envs
+        permutations = jax.vmap(
+            lambda k: jax.random.permutation(k, batch_size)
+        )(jax.random.split(shuffle_key, config.system.ppo_epochs))
+
         update_state = (params, opt_states, traj_batch, advantages, targets, key)
         update_state, loss_info = jax.lax.scan(
-            _update_epoch, update_state, None, config.system.ppo_epochs
+            _update_epoch, update_state, permutations
         )
 
         params, opt_states, traj_batch, advantages, targets, key = update_state
