@@ -26,15 +26,7 @@ import numpy as np
 from flax import struct
 
 from mava_tpu import specs
-from mava_tpu.types import (
-    Observation,
-    PRNGKey,
-    TimeStep,
-    restart,
-    termination,
-    transition,
-    truncation,
-)
+from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 _MOVES = np.array([[-1, 0], [0, 1], [1, 0], [0, -1]], dtype=np.int32)
 NUM_ACTIONS = 4
@@ -58,18 +50,23 @@ class Cleaner:
         self.action_dim = NUM_ACTIONS
 
         rows, cols = np.mgrid[0:num_rows, 0:num_cols]
-        self._wall = jnp.asarray((rows % 2 == 1) & (cols % 2 == 1))
-        self._init_dirty = ~self._wall
+        wall_np = (rows % 2 == 1) & (cols % 2 == 1)
+        self._wall = jnp.asarray(wall_np)
+        init_dirty = ~wall_np
+        init_dirty[0, 0] = False  # start tile cleaned
+        self._init_dirty = jnp.asarray(init_dirty)
+        self._cell_iota = jnp.arange(num_rows * num_cols, dtype=jnp.int32)
+
+    def _agent_onehot(self, agent_pos: jnp.ndarray) -> jnp.ndarray:
+        """(A, R*C) one-hot occupancy from iota compares (no scatter)."""
+        flat = agent_pos[:, 0] * self.num_cols + agent_pos[:, 1]
+        return (self._cell_iota[None, :] == flat[:, None]).astype(jnp.float32)
 
     def _observe(self, state: CleanerState) -> Observation:
         a = self.num_agents
-        pos_grid = jnp.zeros((self.num_rows, self.num_cols), dtype=jnp.float32)
-        pos_grid = pos_grid.at[state.agent_pos[:, 0], state.agent_pos[:, 1]].add(1.0)
-
-        own = jnp.zeros((a, self.num_rows, self.num_cols), dtype=jnp.float32)
-        own = own.at[
-            jnp.arange(a), state.agent_pos[:, 0], state.agent_pos[:, 1]
-        ].set(1.0)
+        onehot = self._agent_onehot(state.agent_pos)  # (A, RC)
+        pos_grid = jnp.sum(onehot, axis=0).reshape(self.num_rows, self.num_cols)
+        own = onehot.reshape(a, self.num_rows, self.num_cols)
 
         dirty = jnp.broadcast_to(
             state.dirty.astype(jnp.float32), (a, self.num_rows, self.num_cols)
@@ -105,7 +102,7 @@ class Cleaner:
             key=key,
             step_count=jnp.int32(0),
             agent_pos=jnp.zeros((self.num_agents, 2), dtype=jnp.int32),
-            dirty=self._init_dirty.at[0, 0].set(False),  # start tile cleaned
+            dirty=self._init_dirty,
         )
         obs = self._observe(state)
         extras = {"won_episode": jnp.bool_(False)}
@@ -129,12 +126,16 @@ class Cleaner:
         valid = in_bounds & not_wall
         new_pos = jnp.where(valid[:, None], safe, state.agent_pos)
 
-        was_dirty = state.dirty[new_pos[:, 0], new_pos[:, 1]]
-        dirty = state.dirty.at[new_pos[:, 0], new_pos[:, 1]].set(False)
+        # Clean every entered tile: compare-based occupancy instead of a scatter.
+        occupied = (
+            jnp.sum(self._agent_onehot(new_pos), axis=0)
+            .reshape(self.num_rows, self.num_cols)
+            > 0
+        )
+        dirty = state.dirty & ~occupied
         # Count uniquely cleaned tiles (two agents entering the same dirty tile = 1).
         num_cleaned = jnp.sum(state.dirty) - jnp.sum(dirty)
         team_reward = num_cleaned.astype(jnp.float32)
-        del was_dirty
         reward = jnp.repeat(team_reward, self.num_agents)
 
         step_count = state.step_count + 1
@@ -144,15 +145,18 @@ class Cleaner:
         obs = self._observe(new_state)
         all_clean = ~jnp.any(dirty)
         extras = {"won_episode": all_clean}
+        # Fused timestep: all_clean -> termination (discount 0), time_up -> truncation.
         time_up = step_count >= self.time_limit
-        timestep = jax.lax.cond(
-            all_clean,
-            lambda: termination(reward, obs, extras, self.num_agents),
-            lambda: jax.lax.cond(
-                time_up,
-                lambda: truncation(reward, obs, extras, self.num_agents),
-                lambda: transition(reward, obs, extras, self.num_agents),
+        done = all_clean | time_up
+        timestep = TimeStep(
+            step_type=jnp.where(
+                done, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
             ),
+            reward=reward,
+            discount=jnp.where(all_clean, 0.0, 1.0)
+            * jnp.ones(self.num_agents, dtype=jnp.float32),
+            observation=obs,
+            extras=extras,
         )
         return new_state, timestep
 

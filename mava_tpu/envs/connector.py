@@ -28,15 +28,7 @@ import numpy as np
 from flax import struct
 
 from mava_tpu import specs
-from mava_tpu.types import (
-    Observation,
-    PRNGKey,
-    TimeStep,
-    restart,
-    termination,
-    transition,
-    truncation,
-)
+from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 _MOVES = np.array(
     [[0, 0], [-1, 0], [0, 1], [1, 0], [0, -1]], dtype=np.int32
@@ -60,30 +52,39 @@ class MaConnector:
         self.num_agents = num_agents
         self.time_limit = time_limit
         self.action_dim = NUM_ACTIONS
+        self._cell_iota = jnp.arange(grid_size * grid_size, dtype=jnp.int32)
 
     # ------------------------------------------------------------------ helpers
-    def _blocked_grid(self, state: ConnectorState) -> jnp.ndarray:
-        """(A, G, G): cells agent a may NOT enter."""
-        g = self.grid_size
-        heads = jnp.zeros((g, g), dtype=jnp.bool_)
-        heads = heads.at[state.head_pos[:, 0], state.head_pos[:, 1]].set(True)
-        targets_all = jnp.zeros((self.num_agents, g, g), dtype=jnp.bool_)
-        targets_all = targets_all.at[
-            jnp.arange(self.num_agents), state.target_pos[:, 0], state.target_pos[:, 1]
-        ].set(True)
-        others_targets = jnp.sum(targets_all, axis=0)[None] - targets_all
-        return state.paths[None] | heads[None] | (others_targets > 0)
+    def _flat(self, pos: jnp.ndarray) -> jnp.ndarray:
+        return pos[..., 0] * self.grid_size + pos[..., 1]
+
+    def _onehot(self, pos: jnp.ndarray) -> jnp.ndarray:
+        """(A, G*G) one-hot occupancy from iota compares (no scatter)."""
+        return (self._cell_iota[None, :] == self._flat(pos)[:, None]).astype(
+            jnp.float32
+        )
+
+    def _blocked_at(self, state: ConnectorState, query: jnp.ndarray) -> jnp.ndarray:
+        """query (A, Q, 2): per-agent candidate cells -> (A, Q) bool blocked.
+        Blocked by any path, any head, or another agent's target — computed with
+        compares against the entity tables (the only gather is the path bitmap)."""
+        flat_q = self._flat(query)  # (A, Q)
+        path_hit = state.paths.reshape(-1)[flat_q]
+        head_hit = jnp.any(
+            flat_q[..., None] == self._flat(state.head_pos)[None, None, :], axis=-1
+        )
+        tgt_eq = flat_q[..., None] == self._flat(state.target_pos)[None, None, :]
+        not_own = ~jnp.eye(self.num_agents, dtype=jnp.bool_)[:, None, :]  # (A, 1, A)
+        other_tgt_hit = jnp.any(tgt_eq & not_own, axis=-1)
+        return path_hit | head_hit | other_tgt_hit
 
     def _action_mask(self, state: ConnectorState) -> jnp.ndarray:
-        blocked = self._blocked_grid(state)  # (A, G, G)
         targets = state.head_pos[:, None, :] + _MOVES_J[None, 1:, :]  # (A, 4, 2)
         in_bounds = jnp.all(
             (targets >= 0) & (targets < self.grid_size), axis=-1
         )
         safe = jnp.clip(targets, 0, self.grid_size - 1)
-        free = ~blocked[
-            jnp.arange(self.num_agents)[:, None], safe[..., 0], safe[..., 1]
-        ]
+        free = ~self._blocked_at(state, safe)
         move_ok = in_bounds & free & ~state.connected[:, None]
         ones = jnp.ones((self.num_agents, 1), dtype=jnp.bool_)
         return jnp.concatenate([ones, move_ok], axis=-1)
@@ -92,20 +93,14 @@ class MaConnector:
         a, g = self.num_agents, self.grid_size
         ids = (jnp.arange(a, dtype=jnp.float32) + 1.0) / a
 
-        heads = jnp.zeros((g, g), dtype=jnp.float32)
-        heads = heads.at[state.head_pos[:, 0], state.head_pos[:, 1]].set(ids)
-        targets = jnp.zeros((g, g), dtype=jnp.float32)
-        targets = targets.at[state.target_pos[:, 0], state.target_pos[:, 1]].set(ids)
+        head_onehot = self._onehot(state.head_pos)  # (A, GG)
+        target_onehot = self._onehot(state.target_pos)  # (A, GG)
+        heads = jnp.einsum("ac,a->c", head_onehot, ids).reshape(g, g)
+        targets = jnp.einsum("ac,a->c", target_onehot, ids).reshape(g, g)
         paths = state.paths.astype(jnp.float32)
 
-        own_head = jnp.zeros((a, g, g), dtype=jnp.float32)
-        own_head = own_head.at[
-            jnp.arange(a), state.head_pos[:, 0], state.head_pos[:, 1]
-        ].set(1.0)
-        own_target = jnp.zeros((a, g, g), dtype=jnp.float32)
-        own_target = own_target.at[
-            jnp.arange(a), state.target_pos[:, 0], state.target_pos[:, 1]
-        ].set(1.0)
+        own_head = head_onehot.reshape(a, g, g)
+        own_target = target_onehot.reshape(a, g, g)
 
         view = jnp.stack(
             [
@@ -124,9 +119,11 @@ class MaConnector:
     # ------------------------------------------------------------------ API
     def reset(self, key: PRNGKey) -> Tuple[ConnectorState, TimeStep]:
         key, cells_key = jax.random.split(key)
+        # Distinct uniform cells via top-k over iid uniforms (cheaper than
+        # random.choice(replace=False)'s argsort; runs per step under AutoReset).
         n_cells = self.grid_size * self.grid_size
-        cells = jax.random.choice(
-            cells_key, n_cells, shape=(2 * self.num_agents,), replace=False
+        _, cells = jax.lax.top_k(
+            jax.random.uniform(cells_key, (n_cells,)), 2 * self.num_agents
         )
         coords = jnp.stack(
             [cells // self.grid_size, cells % self.grid_size], axis=-1
@@ -147,14 +144,13 @@ class MaConnector:
         self, state: ConnectorState, action: jnp.ndarray
     ) -> Tuple[ConnectorState, TimeStep]:
         action = jnp.clip(action.astype(jnp.int32), 0, NUM_ACTIONS - 1)
-        blocked = self._blocked_grid(state)
 
         proposed = state.head_pos + _MOVES_J[action]
         in_bounds = jnp.all(
             (proposed >= 0) & (proposed < self.grid_size), axis=-1
         )
         safe = jnp.clip(proposed, 0, self.grid_size - 1)
-        free = ~blocked[jnp.arange(self.num_agents), safe[:, 0], safe[:, 1]]
+        free = ~self._blocked_at(state, safe[:, None, :])[:, 0]
         moving = (action != 0) & in_bounds & free & ~state.connected
         new_pos = jnp.where(moving[:, None], safe, state.head_pos)
 
@@ -167,15 +163,13 @@ class MaConnector:
         moving = moving & ~has_clash
         new_pos = jnp.where(moving[:, None], new_pos, state.head_pos)
 
-        # Old head becomes path for agents that moved.
-        path_rows = jnp.where(moving, state.head_pos[:, 0], 0)
-        path_cols = jnp.where(moving, state.head_pos[:, 1], 0)
-        add_path = (
-            jnp.zeros_like(state.paths)
-            .at[path_rows, path_cols]
-            .max(moving)
+        # Old head becomes path for agents that moved — compare-based, no scatter.
+        old_head_hit = (
+            self._cell_iota[None, :] == self._flat(state.head_pos)[:, None]
+        ) & moving[:, None]  # (A, GG)
+        paths = state.paths | jnp.any(old_head_hit, axis=0).reshape(
+            self.grid_size, self.grid_size
         )
-        paths = state.paths | add_path
 
         newly_connected = (
             jnp.all(new_pos == state.target_pos, axis=-1) & ~state.connected
@@ -201,15 +195,18 @@ class MaConnector:
         obs = self._observe(new_state)
         all_connected = jnp.all(connected)
         extras = {"won_episode": all_connected}
+        # Fused timestep: all_connected -> termination (discount 0), else truncation.
         time_up = step_count >= self.time_limit
-        timestep = jax.lax.cond(
-            all_connected,
-            lambda: termination(reward, obs, extras, self.num_agents),
-            lambda: jax.lax.cond(
-                time_up,
-                lambda: truncation(reward, obs, extras, self.num_agents),
-                lambda: transition(reward, obs, extras, self.num_agents),
+        done = all_connected | time_up
+        timestep = TimeStep(
+            step_type=jnp.where(
+                done, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
             ),
+            reward=reward,
+            discount=jnp.where(all_connected, 0.0, 1.0)
+            * jnp.ones(self.num_agents, dtype=jnp.float32),
+            observation=obs,
+            extras=extras,
         )
         return new_state, timestep
 

@@ -31,15 +31,7 @@ import numpy as np
 from flax import struct
 
 from mava_tpu import specs
-from mava_tpu.types import (
-    Observation,
-    PRNGKey,
-    TimeStep,
-    restart,
-    termination,
-    transition,
-    truncation,
-)
+from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 _DIRS = np.array(
     [[0, 0], [0, 1], [1, 1], [1, 0], [1, -1], [0, -1], [-1, -1], [-1, 0], [-1, 1]],
@@ -228,15 +220,18 @@ class Gigastep:
             wiped = jnp.bool_(False)
         extras = {"won_episode": won}
 
+        # Fused timestep: wiped -> termination (discount 0), time_up -> truncation.
         time_up = step_count >= self.time_limit
-        timestep = jax.lax.cond(
-            wiped,
-            lambda: termination(reward, obs, extras, self.num_agents),
-            lambda: jax.lax.cond(
-                time_up,
-                lambda: truncation(reward, obs, extras, self.num_agents),
-                lambda: transition(reward, obs, extras, self.num_agents),
+        done = wiped | time_up
+        timestep = TimeStep(
+            step_type=jnp.where(
+                done, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
             ),
+            reward=reward,
+            discount=jnp.where(wiped, 0.0, 1.0)
+            * jnp.ones(self.num_agents, dtype=jnp.float32),
+            observation=obs,
+            extras=extras,
         )
         return new_state, timestep
 

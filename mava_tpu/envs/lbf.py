@@ -30,15 +30,7 @@ import numpy as np
 from flax import struct
 
 from mava_tpu import specs
-from mava_tpu.types import (
-    Observation,
-    PRNGKey,
-    TimeStep,
-    restart,
-    termination,
-    transition,
-    truncation,
-)
+from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 NOOP, UP, DOWN, LEFT, RIGHT, LOAD = 0, 1, 2, 3, 4, 5
 NUM_ACTIONS = 6
@@ -83,14 +75,17 @@ class LevelBasedForaging:
         self.num_obs_features = 3 * num_food + 3 * num_agents
 
     # ------------------------------------------------------------------ helpers
-    def _occupancy(self, state: LbfState) -> jnp.ndarray:
-        """(G, G) bool: cell blocked by an agent or uneaten food."""
-        grid = jnp.zeros((self.grid_size, self.grid_size), dtype=jnp.bool_)
-        grid = grid.at[state.agent_pos[:, 0], state.agent_pos[:, 1]].set(True)
-        grid = grid.at[state.food_pos[:, 0], state.food_pos[:, 1]].max(
-            ~state.food_eaten
+    def _blocked_at(self, state: LbfState, query: jnp.ndarray) -> jnp.ndarray:
+        """query (..., 2) -> (...) bool: cell blocked by an agent or uneaten food.
+        Direct compares against the (tiny) entity tables — no grid scatter/gather."""
+        flat_q = query[..., 0] * self.grid_size + query[..., 1]
+        flat_agent = state.agent_pos[:, 0] * self.grid_size + state.agent_pos[:, 1]
+        flat_food = state.food_pos[:, 0] * self.grid_size + state.food_pos[:, 1]
+        agent_hit = jnp.any(flat_q[..., None] == flat_agent, axis=-1)
+        food_hit = jnp.any(
+            (flat_q[..., None] == flat_food) & ~state.food_eaten, axis=-1
         )
-        return grid
+        return agent_hit | food_hit
 
     def _observe(self, state: LbfState) -> Observation:
         a, f = self.num_agents, self.num_food
@@ -137,22 +132,16 @@ class LevelBasedForaging:
         return Observation(agents_view, action_mask, step_count)
 
     def _action_mask(self, state: LbfState) -> jnp.ndarray:
-        occ = self._occupancy(state)
         targets = state.agent_pos[:, None, :] + _MOVES_J[None, 1:5, :]  # (A, 4, 2)
         in_bounds = jnp.all((targets >= 0) & (targets < self.grid_size), axis=-1)
         safe = jnp.clip(targets, 0, self.grid_size - 1)
-        free = ~occ[safe[..., 0], safe[..., 1]]
-        move_ok = in_bounds & free  # (A, 4)
+        move_ok = in_bounds & ~self._blocked_at(state, safe)  # (A, 4)
 
-        # Load: any orthogonally-adjacent uneaten food.
+        # Load: any orthogonally-adjacent uneaten food — (A, 4, F) compare.
         adj = state.agent_pos[:, None, :] + _ADJ_J[None, :, :]  # (A, 4, 2)
-        food_alive_at = jnp.zeros(
-            (self.grid_size + 2, self.grid_size + 2), dtype=jnp.bool_
-        )
-        food_alive_at = food_alive_at.at[
-            state.food_pos[:, 0] + 1, state.food_pos[:, 1] + 1
-        ].max(~state.food_eaten)
-        load_ok = jnp.any(food_alive_at[adj[..., 0] + 1, adj[..., 1] + 1], axis=-1)
+        diff = jnp.abs(adj[:, :, None, :] - state.food_pos[None, None, :, :])
+        adjacent_food = jnp.all(diff == 0, axis=-1) & ~state.food_eaten[None, None, :]
+        load_ok = jnp.any(adjacent_food, axis=(1, 2))
 
         ones = jnp.ones((self.num_agents, 1), dtype=jnp.bool_)
         return jnp.concatenate([ones, move_ok, load_ok[:, None]], axis=-1)
@@ -161,9 +150,12 @@ class LevelBasedForaging:
     def reset(self, key: PRNGKey) -> Tuple[LbfState, TimeStep]:
         key, pos_key, alevel_key, flevel_key = jax.random.split(key, 4)
 
+        # Distinct uniform cells via top-k over iid uniforms (cheaper than
+        # random.choice(replace=False)'s argsort; runs per step under AutoReset).
         n_cells = self.grid_size * self.grid_size
-        cells = jax.random.choice(
-            pos_key, n_cells, shape=(self.num_agents + self.num_food,), replace=False
+        _, cells = jax.lax.top_k(
+            jax.random.uniform(pos_key, (n_cells,)),
+            self.num_agents + self.num_food,
         )
         coords = jnp.stack([cells // self.grid_size, cells % self.grid_size], axis=-1)
         agent_pos = coords[: self.num_agents].astype(jnp.int32)
@@ -197,16 +189,18 @@ class LevelBasedForaging:
 
     def step(self, state: LbfState, action: jnp.ndarray) -> Tuple[LbfState, TimeStep]:
         action = action.astype(jnp.int32)
-        occ = self._occupancy(state)
-
         # --- movement with simultaneous-conflict resolution (both stay) -----------
         deltas = _MOVES_J[action]
         targets = state.agent_pos + deltas
         in_bounds = jnp.all((targets >= 0) & (targets < self.grid_size), axis=-1)
         safe = jnp.clip(targets, 0, self.grid_size - 1)
         # Blocked by food or by any agent's CURRENT cell (conservative, as original).
-        free = ~occ[safe[:, 0], safe[:, 1]]
-        valid = in_bounds & free & (action >= UP) & (action <= RIGHT)
+        valid = (
+            in_bounds
+            & ~self._blocked_at(state, safe)
+            & (action >= UP)
+            & (action <= RIGHT)
+        )
         proposed = jnp.where(valid[:, None], safe, state.agent_pos)
         # Two agents proposing the same cell -> both stay.
         flat = proposed[:, 0] * self.grid_size + proposed[:, 1]
@@ -261,16 +255,20 @@ class LevelBasedForaging:
         )
         obs = self._observe(new_state)
 
+        # One fused timestep build: all_eaten -> termination (discount 0),
+        # time_up -> truncation (discount 1) — no lax.cond over the obs pytree.
         all_eaten = jnp.all(food_eaten)
         time_up = step_count >= self.time_limit
-        timestep = jax.lax.cond(
-            all_eaten,
-            lambda: termination(reward, obs, {}, self.num_agents),
-            lambda: jax.lax.cond(
-                time_up,
-                lambda: truncation(reward, obs, {}, self.num_agents),
-                lambda: transition(reward, obs, {}, self.num_agents),
+        done = all_eaten | time_up
+        timestep = TimeStep(
+            step_type=jnp.where(
+                done, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
             ),
+            reward=reward,
+            discount=jnp.where(all_eaten, 0.0, 1.0)
+            * jnp.ones(self.num_agents, dtype=jnp.float32),
+            observation=obs,
+            extras={},
         )
         return new_state, timestep
 

@@ -24,14 +24,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from mava_tpu import specs
-from mava_tpu.types import (
-    Observation,
-    PRNGKey,
-    TimeStep,
-    restart,
-    transition,
-    truncation,
-)
+from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 _DT = 0.1
 _DAMPING = 0.25
@@ -134,11 +127,16 @@ class MaSwarm:
         )
         reward = self._reward(new_state)
         obs = self._observe(new_state)
+        # Fused timestep: time_up -> truncation (LAST, discount stays 1).
         time_up = step_count >= self.time_limit
-        timestep = jax.lax.cond(
-            time_up,
-            lambda: truncation(reward, obs, {}, self.num_agents),
-            lambda: transition(reward, obs, {}, self.num_agents),
+        timestep = TimeStep(
+            step_type=jnp.where(
+                time_up, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
+            ),
+            reward=reward,
+            discount=jnp.ones(self.num_agents, dtype=jnp.float32),
+            observation=obs,
+            extras={},
         )
         return new_state, timestep
 

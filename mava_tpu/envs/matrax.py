@@ -18,14 +18,7 @@ import numpy as np
 from flax import struct
 
 from mava_tpu import specs
-from mava_tpu.types import (
-    Observation,
-    PRNGKey,
-    TimeStep,
-    restart,
-    transition,
-    truncation,
-)
+from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 _CLIMBING = np.array(
     [[11.0, -30.0, 0.0], [-30.0, 7.0, 6.0], [0.0, 0.0, 5.0]], dtype=np.float32
@@ -97,12 +90,18 @@ class Matrax:
             key=state.key, step_count=step_count, last_actions=action
         )
         obs = self._observe(new_state)
+        # Fused timestep: time_up -> truncation (LAST, discount stays 1).
         time_up = step_count >= self.time_limit
-        return new_state, jax.lax.cond(
-            time_up,
-            lambda: truncation(reward, obs, {}, self.num_agents),
-            lambda: transition(reward, obs, {}, self.num_agents),
+        timestep = TimeStep(
+            step_type=jnp.where(
+                time_up, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
+            ),
+            reward=reward,
+            discount=jnp.ones(self.num_agents, dtype=jnp.float32),
+            observation=obs,
+            extras={},
         )
+        return new_state, timestep
 
     def observation_spec(self) -> specs.TreeSpec:
         return specs.TreeSpec(

@@ -38,15 +38,7 @@ import numpy as np
 from flax import struct
 
 from mava_tpu import specs
-from mava_tpu.types import (
-    Observation,
-    PRNGKey,
-    TimeStep,
-    restart,
-    termination,
-    transition,
-    truncation,
-)
+from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 # Unit stats: [hp, dps (per env step), attack_range, sight_range, speed]
 _UNIT_NAMES = [
@@ -345,12 +337,11 @@ class Smax:
         valid_attack = (
             is_attack & alive & alive[target] & (tgt_dist <= atk_range)
         )
+        # Damage accumulation as an (N, N) one-hot reduction instead of a scatter-add
+        # (batched scatters serialize on TPU; this fuses on the VPU).
         damage_out = jnp.where(valid_attack, dps, 0.0)
-        damage_in = (
-            jnp.zeros(n)
-            .at[jnp.where(valid_attack, target, n - 1)]
-            .add(jnp.where(valid_attack, damage_out, 0.0))
-        )
+        hits = (target[:, None] == jnp.arange(n)[None, :]) & valid_attack[:, None]
+        damage_in = jnp.sum(hits * damage_out[:, None], axis=0)
         new_hp = jnp.clip(state.unit_hp - damage_in, 0.0, None)
         newly_dead = (state.unit_hp > 0) & (new_hp <= 0)
 
@@ -381,16 +372,20 @@ class Smax:
         obs = self._observe(new_state)
         extras = {"won_episode": all_enemies_dead}
 
-        done = all_enemies_dead | all_allies_dead
+        # One fused timestep build: wipe-out -> termination (discount 0),
+        # time_up -> truncation (discount 1) — no lax.cond over the obs pytree.
+        wiped = all_enemies_dead | all_allies_dead
         time_up = step_count >= self.time_limit
-        timestep = jax.lax.cond(
-            done,
-            lambda: termination(reward, obs, extras, self.num_agents),
-            lambda: jax.lax.cond(
-                time_up,
-                lambda: truncation(reward, obs, extras, self.num_agents),
-                lambda: transition(reward, obs, extras, self.num_agents),
+        done = wiped | time_up
+        timestep = TimeStep(
+            step_type=jnp.where(
+                done, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
             ),
+            reward=reward,
+            discount=jnp.where(wiped, 0.0, 1.0)
+            * jnp.ones(self.num_agents, dtype=jnp.float32),
+            observation=obs,
+            extras=extras,
         )
         return new_state, timestep
 
