@@ -136,6 +136,17 @@ class Smax:
         )
         self._stats = jnp.asarray(_UNIT_STATS)
         self._move_dirs = jnp.asarray(_MOVE_DIRS)
+        if not self.is_smacv2:
+            # Unit types are fixed for the scenario (reset always restores
+            # _init_types), so per-unit stats are compile-time constants — no
+            # per-step gathers from the stats table.
+            static = _UNIT_STATS[np.array(ally_types + enemy_types)]
+            self._static_stats = jnp.asarray(static)  # (N, 5)
+            self._static_type_onehot = jnp.asarray(
+                np.eye(NUM_UNIT_TYPES, dtype=np.float32)[
+                    np.array(ally_types + enemy_types)
+                ]
+            )
 
         per_other = 4 + NUM_UNIT_TYPES
         self.num_obs_features = (3 + NUM_UNIT_TYPES) + (
@@ -190,15 +201,27 @@ class Smax:
         return state, restart(obs, extras, self.num_agents)
 
     # ------------------------------------------------------------------ obs
+    def _unit_stats(self, state: SmaxState) -> jnp.ndarray:
+        """(N, 5) per-unit [hp, dps, atk_range, sight, speed] — static constants for
+        fixed-composition scenarios, gathered only for smacv2 (resampled types)."""
+        if self.is_smacv2:
+            return self._stats[state.unit_types]
+        return self._static_stats
+
+    def _type_onehot(self, state: SmaxState) -> jnp.ndarray:
+        if self.is_smacv2:
+            return jax.nn.one_hot(state.unit_types, NUM_UNIT_TYPES)
+        return self._static_type_onehot
+
     def _unit_feats(self, state: SmaxState) -> jnp.ndarray:
         """(N, 3 + T): [hp_frac, x/W, y/H, type-onehot], zeroed for dead units."""
         alive = state.unit_hp > 0
-        max_hp = self._stats[state.unit_types, 0]
+        max_hp = self._unit_stats(state)[:, 0]
         feats = jnp.concatenate(
             [
                 (state.unit_hp / max_hp)[:, None],
                 state.unit_pos / jnp.array([MAP_WIDTH, MAP_HEIGHT]),
-                jax.nn.one_hot(state.unit_types, NUM_UNIT_TYPES),
+                self._type_onehot(state),
             ],
             axis=-1,
         )
@@ -207,10 +230,11 @@ class Smax:
     def _observe(self, state: SmaxState) -> Observation:
         n, a = self.num_units, self.num_agents
         alive = state.unit_hp > 0
-        max_hp = self._stats[state.unit_types, 0]
+        stats = self._unit_stats(state)
+        max_hp = stats[:, 0]
         hp_frac = state.unit_hp / max_hp
-        sight = self._stats[state.unit_types, 3]
-        type_onehot = jax.nn.one_hot(state.unit_types, NUM_UNIT_TYPES)
+        sight = stats[:, 3]
+        type_onehot = self._type_onehot(state)
 
         own = jnp.concatenate(
             [
@@ -240,41 +264,37 @@ class Smax:
         other = jnp.take_along_axis(other, idx[..., None], axis=1)[:, 1:]
         agents_view = jnp.concatenate([own, other.reshape(a, -1)], axis=-1)
 
-        action_mask = self._action_mask(state)
+        # Action mask shares this obs pass's ally-enemy distances (no recompute).
+        ally_alive = alive[:a]
+        stop_ok = jnp.ones((a, 1), dtype=jnp.bool_)
+        move_ok = jnp.broadcast_to(ally_alive[:, None], (a, 4))
+        atk_range = stats[:a, 2]
+        attack_ok = (
+            (dist[:, a:] <= atk_range[:, None])
+            & alive[None, a:]
+            & ally_alive[:, None]
+        )
+        action_mask = jnp.concatenate([stop_ok, move_ok, attack_ok], axis=-1)
+
         step_count = jnp.repeat(state.step_count, a)
         return Observation(agents_view, action_mask, step_count)
 
-    def _action_mask(self, state: SmaxState) -> jnp.ndarray:
-        a = self.num_agents
-        alive = state.unit_hp > 0
-        ally_alive = alive[:a]
-
-        stop_ok = jnp.ones((a, 1), dtype=jnp.bool_)
-        move_ok = jnp.broadcast_to(ally_alive[:, None], (a, 4))
-
-        enemy_pos = state.unit_pos[a:]
-        rel = enemy_pos[None, :, :] - state.unit_pos[:a, None, :]
-        dist = jnp.linalg.norm(rel, axis=-1)  # (A, E)
-        atk_range = self._stats[state.unit_types[:a], 2]
-        attack_ok = (
-            (dist <= atk_range[:, None]) & alive[None, a:] & ally_alive[:, None]
-        )
-        return jnp.concatenate([stop_ok, move_ok, attack_ok], axis=-1)
-
     # ------------------------------------------------------------------ step
-    def _enemy_actions(self, state: SmaxState, key: PRNGKey) -> jnp.ndarray:
+    def _enemy_actions(
+        self,
+        state: SmaxState,
+        key: PRNGKey,
+        rel: jnp.ndarray,  # (E, A, 2) ally pos relative to each enemy
+        dist: jnp.ndarray,  # (E, A)
+    ) -> jnp.ndarray:
         """Scripted controller for the enemy team: attack in-range allies
-        (closest or random), else advance on the closest ally."""
+        (closest or random), else advance on the closest ally. Distances come from
+        the step's shared pairwise matrix."""
         a, e = self.num_agents, self.num_enemies
         alive = state.unit_hp > 0
-        enemy_pos = state.unit_pos[a:]
-        ally_pos = state.unit_pos[:a]
-
-        rel = ally_pos[None, :, :] - enemy_pos[:, None, :]  # (E, A, 2)
-        dist = jnp.linalg.norm(rel, axis=-1)
         dist = jnp.where(alive[None, :a], dist, jnp.inf)
 
-        atk_range = self._stats[state.unit_types[a:], 2]
+        atk_range = self._unit_stats(state)[a:, 2]
         in_range = dist <= atk_range[:, None]
 
         if self.attack_mode == "random":
@@ -301,15 +321,22 @@ class Smax:
     def step(self, state: SmaxState, action: jnp.ndarray) -> Tuple[SmaxState, TimeStep]:
         a, e, n = self.num_agents, self.num_enemies, self.num_units
         key, enemy_key = jax.random.split(state.key)
-        enemy_action = self._enemy_actions(state, enemy_key)
+
+        # Pairwise geometry at step start, shared by the enemy AI and attack checks.
+        rel_all = state.unit_pos[:, None, :] - state.unit_pos[None, :, :]  # (N, N, 2)
+        dist_all = jnp.linalg.norm(rel_all, axis=-1)
+
+        enemy_action = self._enemy_actions(
+            state, enemy_key, -rel_all[a:, :a], dist_all[a:, :a]
+        )
         # Enemy attack targets index into the ALLY team.
         all_actions = jnp.concatenate([action.astype(jnp.int32), enemy_action])
 
         alive = state.unit_hp > 0
-        types = state.unit_types
-        speed = self._stats[types, 4]
-        atk_range = self._stats[types, 2]
-        dps = self._stats[types, 1]
+        stats = self._unit_stats(state)
+        speed = stats[:, 4]
+        atk_range = stats[:, 2]
+        dps = stats[:, 1]
 
         is_move = (all_actions >= 1) & (all_actions <= 4)
         move_dir = self._move_dirs[jnp.clip(all_actions - 1, 0, 3)]
@@ -331,9 +358,7 @@ class Smax:
             jnp.clip(raw_target, 0, e - 1) + a,
             jnp.clip(raw_target, 0, a - 1),
         )
-        tgt_dist = jnp.linalg.norm(
-            state.unit_pos[target] - state.unit_pos, axis=-1
-        )
+        tgt_dist = jnp.take_along_axis(dist_all, target[:, None], axis=1)[:, 0]
         valid_attack = (
             is_attack & alive & alive[target] & (tgt_dist <= atk_range)
         )
@@ -366,7 +391,7 @@ class Smax:
             step_count=step_count,
             unit_pos=new_pos,
             unit_hp=new_hp,
-            unit_types=types,
+            unit_types=state.unit_types,
             max_reward=state.max_reward,
         )
         obs = self._observe(new_state)

@@ -112,7 +112,12 @@ def get_learner_fn(
             return learner_state, transition
 
         learner_state, traj_batch = jax.lax.scan(
-            _env_step, learner_state, None, config.system.rollout_length
+            _env_step,
+            learner_state,
+            None,
+            config.system.rollout_length,
+            # Light unroll amortises scan-loop overhead in the latency-bound rollout.
+            unroll=2,
         )
 
         (params, opt_states, key, env_state, last_timestep, last_done,
