@@ -2,8 +2,8 @@
 
 Capability parity with reference `mava/utils/logger.py:44-348`: a `MavaLogger` facade
 computing win-rates and mean/std/min/max summaries, fanning out to console, TensorBoard
-(own dependency-free writer), and marl-eval-format JSON backends. Neptune is not
-available in this image; its slot in the fan-out raises a clear error if enabled.
+(own dependency-free writer), marl-eval-format JSON, and neptune.ai backends (neptune
+imported lazily — enabling it without the package raises a clear error).
 
 In multi-host runs only process 0 should construct backends — `MavaLogger` no-ops on
 other processes.
@@ -144,6 +144,53 @@ class TensorboardLogger(BaseLogger):
         self.writer.close()
 
 
+class NeptuneLogger(BaseLogger):
+    """neptune.ai backend (reference `logger.py:150-193`): tags + config upload,
+    main-metric filtering via `detailed_logging`, and zip-upload of the marl-eval
+    JSON on stop. The neptune package is imported lazily — constructing this logger
+    without it installed raises a clear error instead of failing at import time."""
+
+    # Metrics always logged even when detailed logging is off
+    # (reference `logger.py:170-178`).
+    _MAIN_METRICS = ("episode_return", "win_rate", "steps_per_second")
+
+    def __init__(self, cfg, unique_token: str):
+        try:
+            import neptune  # type: ignore
+        except ImportError as e:  # pragma: no cover - neptune absent in CI image
+            raise RuntimeError(
+                "logger.use_neptune=True but the neptune package is not installed."
+            ) from e
+        self._neptune = neptune
+        self.run = neptune.init_run(
+            project=cfg.logger.kwargs.get("neptune_project"),
+            tags=list(cfg.logger.kwargs.get("neptune_tags", [])),
+        )
+        self.run["config"] = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
+        self.detailed = bool(cfg.logger.kwargs.get("detailed_logging", False))
+        self._json_base = os.path.join(cfg.logger.base_exp_path, "json")
+        self.unique_token = unique_token
+
+    def log_stat(self, key, value, step, eval_step, event) -> None:
+        value = value.item() if isinstance(value, (jax.Array, np.ndarray)) else value
+        is_main = any(key.startswith(m) for m in self._MAIN_METRICS)
+        if not (self.detailed or is_main):
+            return
+        self.run[f"{event.value}/{key}"].log(value, step=step)
+
+    def stop(self) -> None:  # pragma: no cover - needs live neptune run
+        if os.path.isdir(self._json_base):
+            import shutil
+
+            zip_path = shutil.make_archive(
+                os.path.join("/tmp", f"metrics_{self.unique_token}"),
+                "zip",
+                self._json_base,
+            )
+            self.run["metrics_json"].upload(zip_path)
+        self.run.stop()
+
+
 class JsonLogger(BaseLogger):
     """marl-eval-format JSON (Gorsane et al. 2022), reference `logger.py:211-251`.
 
@@ -217,9 +264,7 @@ class MavaLogger:
         is_main_process = jax.process_index() == 0
         if is_main_process:
             if config.logger.get("use_neptune"):
-                raise RuntimeError(
-                    "Neptune is not available in this build; use tb/json/console."
-                )
+                loggers.append(NeptuneLogger(config, unique_token))
             if config.logger.get("use_tb"):
                 loggers.append(TensorboardLogger(config, unique_token))
             if config.logger.get("use_json"):
