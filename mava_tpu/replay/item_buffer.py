@@ -50,11 +50,24 @@ def make_item_buffer(
         )
 
     def add(state: ItemBufferState, batch: Any) -> ItemBufferState:
-        """batch leaves: (add_batch_size, ...)."""
-        positions = (state.current_index + jnp.arange(add_batch_size)) % max_length
-        experience = jax.tree.map(
-            lambda buf, x: buf.at[positions].set(x), state.experience, batch
-        )
+        """batch leaves: (add_batch_size, ...). When the ring length is a multiple of
+        the add batch the write never wraps (head starts at 0, advances by the batch),
+        lowering to a contiguous dynamic_update_slice instead of a scatter."""
+        if max_length % add_batch_size == 0:
+            experience = jax.tree.map(
+                lambda buf, x: jax.lax.dynamic_update_slice_in_dim(
+                    buf, x, state.current_index, axis=0
+                ),
+                state.experience,
+                batch,
+            )
+        else:
+            positions = (
+                state.current_index + jnp.arange(add_batch_size)
+            ) % max_length
+            experience = jax.tree.map(
+                lambda buf, x: buf.at[positions].set(x), state.experience, batch
+            )
         new_index = (state.current_index + add_batch_size) % max_length
         is_full = state.is_full | (state.current_index + add_batch_size >= max_length)
         return ItemBufferState(

@@ -72,15 +72,28 @@ def make_trajectory_buffer(
         )
 
     def add(state: TrajectoryBufferState, batch: Any) -> TrajectoryBufferState:
-        """batch leaves: (add_batch_size, T_add, ...). Writes at the ring head with a
-        modular scatter along the time axis (static-shape; handles wrap uniformly)."""
+        """batch leaves: (add_batch_size, T_add, ...). Writes at the ring head.
+
+        When the ring length is a multiple of the slab length the write can never
+        wrap (the head starts at 0 and always advances by T_add), so it lowers to a
+        contiguous `dynamic_update_slice` — much cheaper on TPU than the modular
+        scatter needed in the general (wrapping) case."""
         t_add = jax.tree.leaves(batch)[0].shape[1]
         idx = state.current_index
-        positions = (idx + jnp.arange(t_add)) % max_length_time_axis
 
-        experience = jax.tree.map(
-            lambda buf, x: buf.at[:, positions].set(x), state.experience, batch
-        )
+        if max_length_time_axis % t_add == 0:
+            experience = jax.tree.map(
+                lambda buf, x: jax.lax.dynamic_update_slice_in_dim(
+                    buf, x, idx, axis=1
+                ),
+                state.experience,
+                batch,
+            )
+        else:
+            positions = (idx + jnp.arange(t_add)) % max_length_time_axis
+            experience = jax.tree.map(
+                lambda buf, x: buf.at[:, positions].set(x), state.experience, batch
+            )
         new_index = (idx + t_add) % max_length_time_axis
         is_full = state.is_full | (idx + t_add >= max_length_time_axis)
         return TrajectoryBufferState(

@@ -142,7 +142,7 @@ def get_learner_fn(
             config.system.gae_lambda,
         )
 
-        def _update_epoch(update_state: Tuple, _: Any) -> Tuple:
+        def _update_epoch(update_state: Tuple, permutation: jnp.ndarray) -> Tuple:
             def _update_minibatch(train_state: Tuple, batch_info: Tuple) -> Tuple:
                 params, opt_states, key = train_state
                 traj_batch, advantages, targets = batch_info
@@ -216,7 +216,6 @@ def get_learner_fn(
                 return (new_params, new_opt_state, key), loss_info
 
             params, opt_states, traj_batch, advantages, targets, key = update_state
-            key, shuffle_key = jax.random.split(key)
 
             # Chunked BPTT: split the rollout into contiguous time chunks, fold the
             # chunk axis into the env/batch axis, shuffle whole sequences.
@@ -229,8 +228,6 @@ def get_learner_fn(
                 .reshape(chunk, num_chunks * x.shape[1], *x.shape[2:]),
                 batch,
             )
-            num_sequences = config.arch.num_envs * num_chunks
-            permutation = jax.random.permutation(shuffle_key, num_sequences)
             shuffled = jax.tree.map(lambda x: jnp.take(x, permutation, axis=1), batch)
             reshaped = jax.tree.map(
                 lambda x: jnp.reshape(
@@ -245,9 +242,18 @@ def get_learner_fn(
             )
             return (params, opt_states, traj_batch, advantages, targets, key), loss_info
 
+        # All epoch shuffles generated up front as ONE batched sort (see ff_ippo).
+        key, shuffle_key = jax.random.split(key)
+        num_sequences = config.arch.num_envs * (
+            config.system.rollout_length // config.system.recurrent_chunk_size
+        )
+        permutations = jax.vmap(
+            lambda k: jax.random.permutation(k, num_sequences)
+        )(jax.random.split(shuffle_key, config.system.ppo_epochs))
+
         update_state = (params, opt_states, traj_batch, advantages, targets, key)
         update_state, loss_info = jax.lax.scan(
-            _update_epoch, update_state, None, config.system.ppo_epochs
+            _update_epoch, update_state, permutations
         )
 
         params, opt_states, traj_batch, advantages, targets, key = update_state
