@@ -10,10 +10,14 @@ Semantics:
     `cfg.<group>`.
   * `env` group files may declare their own `defaults: {scenario: <name>}`, which loads
     `configs/env/scenario/<name>.yaml` into `cfg.env.scenario`.
-  * Overrides: `group=option` recomposes a group; `env.scenario=name` swaps the scenario
-    file; any dotted path `a.b.c=value` sets a leaf (value parsed as YAML).
-  * The result is a `Config`: a dict with attribute access, open to new keys (the
-    reference relies on OmegaConf struct-mode off for runtime-injected keys).
+  * Overrides: `group=option` recomposes a group; `env/scenario=name` (Hydra syntax,
+    as in the reference CLI `README.md:170-183`) or `env.scenario=name` swaps the
+    scenario file; any dotted path `a.b.c=value` sets an EXISTING leaf (value parsed
+    as YAML) — unknown paths raise, `+a.b.c=value` adds a new key (Hydra's `+`).
+  * The result is a `Config`: a dict with attribute access, open to new keys at
+    runtime (the reference relies on OmegaConf struct-mode off for runtime-injected
+    keys); strictness applies only to CLI overrides, where a typo must not pass
+    silently.
 """
 
 from __future__ import annotations
@@ -106,13 +110,25 @@ def _parse_value(text: str) -> Any:
     return yaml.safe_load(text)
 
 
-def _set_dotted(cfg: Dict[str, Any], path: str, value: Any) -> None:
+def _set_dotted(
+    cfg: Dict[str, Any], path: str, value: Any, allow_new: bool = False
+) -> None:
     keys = path.split(".")
     node = cfg
-    for key in keys[:-1]:
+    for i, key in enumerate(keys[:-1]):
         if key not in node or not isinstance(node[key], dict):
+            if not allow_new:
+                raise KeyError(
+                    f"Override '{path}' refers to unknown config path "
+                    f"'{'.'.join(keys[: i + 1])}'. Use '+{path}=...' to add new keys."
+                )
             node[key] = Config()
         node = node[key]
+    if not allow_new and keys[-1] not in node:
+        raise KeyError(
+            f"Override '{path}' refers to unknown config key '{keys[-1]}'. "
+            f"Use '+{path}=...' to add new keys."
+        )
     node[keys[-1]] = value
 
 
@@ -143,19 +159,33 @@ def load_config(
         cfg[group] = _load_group(group, str(option), config_dir)
     _deep_merge(cfg, top)  # top-level keys outside `defaults` overlay the groups
 
-    # Sub-group swaps (env.scenario=...) then leaf overrides.
+    # Sub-group swaps (`env/scenario=name` — Hydra syntax — or `env.scenario=name`),
+    # then leaf overrides.
     leaf_overrides: List[str] = []
     for ov in remaining:
         key, value = ov.split("=", 1)
-        if key == "env.scenario":
-            cfg["env"]["scenario"] = _load_yaml(
-                config_dir / "env" / "scenario" / f"{value}.yaml"
-            )
-        else:
-            leaf_overrides.append(ov)
+        sub_key = key.replace(".", "/")
+        if "/" in sub_key:
+            group, sub = sub_key.split("/", 1)
+            candidate = config_dir / group / sub / f"{value}.yaml"
+            if (config_dir / group / sub).is_dir():
+                if group not in cfg:
+                    raise KeyError(
+                        f"Override '{ov}' targets group '{group}' which is not part "
+                        f"of this config's defaults."
+                    )
+                cfg[group][sub.replace("/", ".")] = _load_yaml(candidate)
+                continue
+            if "/" in key:
+                raise KeyError(
+                    f"Override '{ov}' looks like a group swap but "
+                    f"'{config_dir / group / sub}' is not a config group directory."
+                )
+        leaf_overrides.append(ov)
 
     for ov in leaf_overrides:
         key, value = ov.split("=", 1)
-        _set_dotted(cfg, key, _parse_value(value))
+        allow_new = key.startswith("+")
+        _set_dotted(cfg, key.lstrip("+"), _parse_value(value), allow_new=allow_new)
 
     return Config.from_dict(cfg)

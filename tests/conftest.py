@@ -31,7 +31,10 @@ def fast_config_overrides():
         "arch.num_eval_episodes=8",
         "arch.num_absolute_metric_eval_episodes=8",
         "arch.absolute_metric=False",
-        "system.ppo_epochs=1",
-        "system.num_minibatches=2",
+        # '+' form: sets the key for PPO systems and harmlessly adds it for
+        # off-policy configs that don't have it (strict overrides otherwise reject
+        # unknown keys).
+        "+system.ppo_epochs=1",
+        "+system.num_minibatches=2",
         "logger.use_console=False",
     ]

@@ -1,0 +1,61 @@
+"""Numerical unit tests for the PPO loss primitives (reference semantics:
+`mava/systems/ppo/ff_ippo.py:162-213`)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mava_tpu.ops import clipped_ppo_policy_loss, clipped_value_loss
+
+
+def test_policy_loss_matches_hand_computation():
+    log_prob = jnp.array([0.0, -1.0, -0.5])
+    old_log_prob = jnp.array([-0.1, -0.9, -0.5])
+    gae = jnp.array([1.0, -1.0, 0.5])
+    clip_eps = 0.2
+
+    ratio = np.exp(np.asarray(log_prob) - np.asarray(old_log_prob))
+    g = np.asarray(gae)
+    g = (g - g.mean()) / (g.std() + 1e-8)
+    l1 = ratio * g
+    l2 = np.clip(ratio, 0.8, 1.2) * g
+    expected = -np.minimum(l1, l2).mean()
+
+    got = clipped_ppo_policy_loss(log_prob, old_log_prob, gae, clip_eps)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_policy_loss_zero_at_old_policy_mean_adv_zero():
+    # ratio == 1 everywhere -> loss = -mean(normalised gae) = 0.
+    log_prob = jnp.array([-0.5, -0.2, -1.0, -0.7])
+    gae = jnp.array([2.0, -1.0, 0.5, -1.5])
+    got = clipped_ppo_policy_loss(log_prob, log_prob, gae, 0.2)
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+def test_policy_loss_clips_large_ratios():
+    # A huge ratio with positive advantage must be clipped at 1 + eps.
+    log_prob = jnp.array([5.0, 0.0])
+    old_log_prob = jnp.array([0.0, 0.0])
+    gae = jnp.array([1.0, -1.0])  # normalised -> [1, -1]
+    got = clipped_ppo_policy_loss(log_prob, old_log_prob, gae, 0.2)
+    # elem0: min(e^5 * 1, 1.2 * 1) = 1.2; elem1: ratio 1 -> min(-1, -1) = -1
+    np.testing.assert_allclose(got, -(1.2 - 1.0) / 2, rtol=1e-5)
+
+
+def test_value_loss_unclipped_region():
+    value = jnp.array([1.0, 2.0])
+    old_value = jnp.array([1.05, 1.95])  # within clip range of value
+    targets = jnp.array([1.5, 1.5])
+    got = clipped_value_loss(value, old_value, targets, clip_eps=0.2)
+    # clipped value == value (|delta| <= eps) -> plain 0.5 * mse
+    expected = 0.5 * np.mean((np.array([1.0, 2.0]) - np.array([1.5, 1.5])) ** 2)
+    np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+
+def test_value_loss_takes_max_of_clipped_and_unclipped():
+    value = jnp.array([2.0])  # moved far from old value
+    old_value = jnp.array([0.0])
+    targets = jnp.array([0.0])
+    got = clipped_value_loss(value, old_value, targets, clip_eps=0.2)
+    # unclipped: (2-0)^2 = 4; clipped value = 0.2 -> (0.2)^2 = 0.04; max = 4
+    np.testing.assert_allclose(got, 0.5 * 4.0, rtol=1e-6)
