@@ -46,7 +46,7 @@ from mava_tpu.systems.q_learning.types import (
 )
 from mava_tpu.utils.checkpointing import Checkpointer
 from mava_tpu.utils.config import Config, load_config
-from mava_tpu.utils.jax_utils import switch_leading_axes
+from mava_tpu.utils.jax_utils import select_along_last, switch_leading_axes
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
@@ -123,9 +123,7 @@ def make_update_fn(
             q_online_params, hidden_state, obs_term_or_trunc, method="get_q_values"
         )
         q_online = switch_leading_axes(q_online)
-        q_online = jnp.squeeze(
-            jnp.take_along_axis(q_online, action[..., jnp.newaxis], axis=-1), axis=-1
-        )
+        q_online = select_along_last(q_online, action)
         q_loss = jnp.mean(jnp.square(q_online - target))
         loss_info = {
             "q_loss": q_loss,
@@ -154,12 +152,7 @@ def make_update_fn(
             params.target, hidden_state, next_inputs, method="get_q_values"
         )
         next_action = next_online_greedy_dist.mode()
-        next_q_val = jnp.squeeze(
-            jnp.take_along_axis(
-                next_q_vals_target, next_action[..., jnp.newaxis], axis=-1
-            ),
-            axis=-1,
-        )
+        next_q_val = select_along_last(next_q_vals_target, next_action)
         next_q_val = switch_leading_axes(next_q_val)
 
         target_q_val = (

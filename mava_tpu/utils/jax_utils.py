@@ -26,3 +26,13 @@ def unreplicate_batch_dim(x: Any) -> Any:
 def switch_leading_axes(x: Any) -> Any:
     """Swap the first two axes of every leaf ((B, T, ...) <-> (T, B, ...))."""
     return jax.tree.map(lambda y: jnp.swapaxes(y, 0, 1), x)
+
+
+def select_along_last(values: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
+    """values[..., index] for a small last axis, as a one-hot multiply-sum.
+
+    `take_along_axis` on the minor (lane) axis lowers to a per-element gather,
+    which is very slow on TPU; for small trailing axes (actions, q-heads) the
+    one-hot select fuses on the VPU instead."""
+    onehot = index[..., None] == jnp.arange(values.shape[-1])
+    return jnp.sum(jnp.where(onehot, values, 0), axis=-1)
