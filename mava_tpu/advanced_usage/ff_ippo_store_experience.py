@@ -51,8 +51,7 @@ def run_experiment(_config: Config) -> float:
     )
 
     from mava_tpu.networks import FeedForwardValueNet as Critic
-    from mava_tpu.networks import FeedForwardActor as Actor
-    from mava_tpu.networks.factory import make_action_head, make_torso
+    from mava_tpu.networks.factory import make_torso
     from mava_tpu.utils.training import make_learning_rate, make_optimizer
 
     critic_network = Critic(

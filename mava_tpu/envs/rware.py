@@ -30,7 +30,7 @@ instead of a 3-way `lax.cond` over the whole observation pytree.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -6,8 +6,6 @@ advantage normalisation, clipped surrogate, and clipped value loss.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax.numpy as jnp
 
 

@@ -17,7 +17,7 @@ Logging/checkpointing are process-0-only by construction (`MavaLogger` checks
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

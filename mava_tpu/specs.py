@@ -10,7 +10,7 @@ NamedTuple observations.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Sequence, Tuple, Type
+from typing import Any, Sequence, Tuple, Type
 
 import jax.numpy as jnp
 import numpy as np

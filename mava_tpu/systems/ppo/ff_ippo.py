@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import copy
 import time
-from typing import Any, Callable, Dict, Tuple
+from typing import Any, Callable, Tuple
 
 import jax
 import jax.numpy as jnp

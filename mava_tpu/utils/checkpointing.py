@@ -8,7 +8,6 @@ handles multi-host (pod-slice) array gathering natively.
 
 from __future__ import annotations
 
-import json
 import os
 from datetime import datetime
 from typing import Any, Optional, Tuple

@@ -34,3 +34,27 @@ def test_new_key_injection():
 def test_bad_override_raises():
     with pytest.raises(ValueError):
         load_config("default_ff_ippo", ["notakeyvalue"])
+
+
+def test_hydra_style_scenario_switch():
+    # The reference CLI syntax (`README.md:170-183`): env/scenario=<name>.
+    cfg = load_config("default_rec_ippo", ["env=smax", "env/scenario=3s5z"])
+    assert cfg.env.scenario.task_name == "3s5z"
+
+
+def test_unknown_override_key_rejected():
+    with pytest.raises(KeyError):
+        load_config("default_ff_ippo", ["system.no_such_key=1"])
+    with pytest.raises(KeyError):
+        load_config("default_ff_ippo", ["system.typo.deep=1"])
+
+
+def test_plus_prefix_adds_new_key():
+    cfg = load_config("default_ff_ippo", ["+system.brand_new=3"])
+    assert cfg.system.brand_new == 3
+
+
+def test_group_switch_with_scenario():
+    cfg = load_config("default_ff_ippo", ["env=lbf", "env/scenario=15x15-4p-3f"])
+    assert cfg.env.env_name == "LevelBasedForaging"
+    assert cfg.env.scenario.task_name == "15x15-4p-3f"
