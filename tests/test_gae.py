@@ -79,3 +79,16 @@ def test_gae_next_done_variant_equals_shifted_done():
         0.95,
     )
     np.testing.assert_allclose(np.asarray(adv), adv_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_select_along_last_matches_take_along_axis():
+    import jax
+    import numpy as np
+
+    from mava_tpu.utils.jax_utils import select_along_last
+
+    key = jax.random.PRNGKey(0)
+    vals = jax.random.normal(key, (7, 3, 5))
+    idx = jax.random.randint(key, (7, 3), 0, 5)
+    expected = jnp.take_along_axis(vals, idx[..., None], axis=-1)[..., 0]
+    np.testing.assert_allclose(select_along_last(vals, idx), expected, rtol=1e-6)
