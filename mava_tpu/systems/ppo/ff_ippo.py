@@ -173,8 +173,9 @@ def get_learner_fn(
 
             params, opt_states, traj_batch, advantages, targets, key = update_state
 
-            # Shuffle (T, E) -> (T*E,) and split into minibatches.
-            batch = (traj_batch, advantages, targets)
+            # Shuffle (T, E) -> (T*E,) and split into minibatches. The losses never
+            # read `info` — drop the metrics dict before the shuffle gather.
+            batch = (traj_batch._replace(info={}), advantages, targets)
             batch = jax.tree.map(lambda x: merge_leading_dims(x, 2), batch)
             shuffled = jax.tree.map(lambda x: jnp.take(x, permutation, axis=0), batch)
             minibatches = jax.tree.map(

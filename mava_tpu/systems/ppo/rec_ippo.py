@@ -228,6 +228,18 @@ def get_learner_fn(
                 .reshape(chunk, num_chunks * x.shape[1], *x.shape[2:]),
                 batch,
             )
+            # The loss only reads the chunk-INITIAL hidden states (it re-runs the RNN
+            # from there) and never reads `info` — drop the full per-step hstates
+            # (the largest leaves in the batch) and the metrics dict before the
+            # shuffle gather instead of permuting them every epoch.
+            tb = batch[0]
+            batch = (
+                tb._replace(
+                    hstates=jax.tree.map(lambda h: h[0:1], tb.hstates), info={}
+                ),
+                batch[1],
+                batch[2],
+            )
             shuffled = jax.tree.map(lambda x: jnp.take(x, permutation, axis=1), batch)
             reshaped = jax.tree.map(
                 lambda x: jnp.reshape(
