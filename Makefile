@@ -1,7 +1,7 @@
 # Convenience targets (the reference ships a Makefile for docker workflows; here the
 # targets map to the local dev loop).
 
-.PHONY: test test-fast bench train-smax lint
+.PHONY: test test-fast bench bench-suite train-smax
 
 test:
 	python -m pytest tests/ -x -q

@@ -42,10 +42,11 @@ class Categorical:
 
     def log_prob(self, value: Array) -> Array:
         log_probs = jax.nn.log_softmax(self.logits, axis=-1)
-        value = value.astype(jnp.int32)
         # One-hot select instead of take_along_axis: a per-element gather along the
         # minor (lane) axis is very slow on TPU; multiply-sum over the small action
-        # axis fuses on the VPU. (~40x on a (16k, A, n_act) batch.)
+        # axis fuses on the VPU. (~40x on a (16k, A, n_act) batch.) Out-of-range
+        # values clamp like gather would, rather than silently returning 0.
+        value = jnp.clip(value.astype(jnp.int32), 0, self.num_categories - 1)
         onehot = value[..., None] == jnp.arange(self.num_categories)
         return jnp.sum(jnp.where(onehot, log_probs, 0.0), axis=-1)
 

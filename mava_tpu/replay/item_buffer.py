@@ -50,24 +50,31 @@ def make_item_buffer(
         )
 
     def add(state: ItemBufferState, batch: Any) -> ItemBufferState:
-        """batch leaves: (add_batch_size, ...). When the ring length is a multiple of
-        the add batch the write never wraps (head starts at 0, advances by the batch),
-        lowering to a contiguous dynamic_update_slice instead of a scatter."""
-        if max_length % add_batch_size == 0:
-            experience = jax.tree.map(
-                lambda buf, x: jax.lax.dynamic_update_slice_in_dim(
-                    buf, x, state.current_index, axis=0
-                ),
-                state.experience,
+        """batch leaves: (add_batch_size, ...). Non-wrapping writes lower to a
+        contiguous dynamic_update_slice instead of a scatter; the wrap case keeps
+        the modular scatter. Selected at runtime so any index history is safe."""
+        first = jax.tree.leaves(batch)[0]
+        assert first.shape[0] == add_batch_size, (
+            f"add expects leading dim {add_batch_size}, got {first.shape[0]}"
+        )
+        idx = state.current_index
+
+        def contiguous(exp):
+            return jax.tree.map(
+                lambda buf, x: jax.lax.dynamic_update_slice_in_dim(buf, x, idx, axis=0),
+                exp,
                 batch,
             )
-        else:
-            positions = (
-                state.current_index + jnp.arange(add_batch_size)
-            ) % max_length
-            experience = jax.tree.map(
-                lambda buf, x: buf.at[positions].set(x), state.experience, batch
+
+        def wrapping(exp):
+            positions = (idx + jnp.arange(add_batch_size)) % max_length
+            return jax.tree.map(
+                lambda buf, x: buf.at[positions].set(x), exp, batch
             )
+
+        experience = jax.lax.cond(
+            idx + add_batch_size <= max_length, contiguous, wrapping, state.experience
+        )
         new_index = (state.current_index + add_batch_size) % max_length
         is_full = state.is_full | (state.current_index + add_batch_size >= max_length)
         return ItemBufferState(

@@ -74,26 +74,38 @@ def make_trajectory_buffer(
     def add(state: TrajectoryBufferState, batch: Any) -> TrajectoryBufferState:
         """batch leaves: (add_batch_size, T_add, ...). Writes at the ring head.
 
-        When the ring length is a multiple of the slab length the write can never
-        wrap (the head starts at 0 and always advances by T_add), so it lowers to a
-        contiguous `dynamic_update_slice` — much cheaper on TPU than the modular
-        scatter needed in the general (wrapping) case."""
-        t_add = jax.tree.leaves(batch)[0].shape[1]
+        When the write fits without wrapping it lowers to a contiguous
+        `dynamic_update_slice` — much cheaper on TPU than a modular scatter. The
+        wrap case keeps the scatter. Selected at runtime (`lax.cond` on a scalar
+        predicate executes one branch), so mixed slab lengths stay correct."""
+        first = jax.tree.leaves(batch)[0]
+        t_add = first.shape[1]
+        assert first.shape[0] == add_batch_size, (
+            f"add expects leading dim {add_batch_size}, got {first.shape[0]}"
+        )
         idx = state.current_index
 
-        if max_length_time_axis % t_add == 0:
-            experience = jax.tree.map(
+        def contiguous(exp):
+            return jax.tree.map(
                 lambda buf, x: jax.lax.dynamic_update_slice_in_dim(
                     buf, x, idx, axis=1
                 ),
-                state.experience,
+                exp,
                 batch,
             )
-        else:
+
+        def wrapping(exp):
             positions = (idx + jnp.arange(t_add)) % max_length_time_axis
-            experience = jax.tree.map(
-                lambda buf, x: buf.at[:, positions].set(x), state.experience, batch
+            return jax.tree.map(
+                lambda buf, x: buf.at[:, positions].set(x), exp, batch
             )
+
+        experience = jax.lax.cond(
+            idx + t_add <= max_length_time_axis,
+            contiguous,
+            wrapping,
+            state.experience,
+        )
         new_index = (idx + t_add) % max_length_time_axis
         is_full = state.is_full | (idx + t_add >= max_length_time_axis)
         return TrajectoryBufferState(

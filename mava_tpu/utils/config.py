@@ -159,28 +159,29 @@ def load_config(
         cfg[group] = _load_group(group, str(option), config_dir)
     _deep_merge(cfg, top)  # top-level keys outside `defaults` overlay the groups
 
-    # Sub-group swaps (`env/scenario=name` — Hydra syntax — or `env.scenario=name`),
-    # then leaf overrides.
+    # Sub-group swaps: Hydra syntax `env/scenario=name`, plus `env.scenario=name`
+    # kept as an explicit alias. Dotted keys are otherwise ALWAYS leaf overrides —
+    # deriving swaps from dots would silently hijack keys like `system.ppo=...`
+    # whenever they happen to name a config subdirectory.
     leaf_overrides: List[str] = []
     for ov in remaining:
         key, value = ov.split("=", 1)
-        sub_key = key.replace(".", "/")
-        if "/" in sub_key:
-            group, sub = sub_key.split("/", 1)
-            candidate = config_dir / group / sub / f"{value}.yaml"
-            if (config_dir / group / sub).is_dir():
-                if group not in cfg:
-                    raise KeyError(
-                        f"Override '{ov}' targets group '{group}' which is not part "
-                        f"of this config's defaults."
-                    )
-                cfg[group][sub.replace("/", ".")] = _load_yaml(candidate)
-                continue
-            if "/" in key:
+        if key == "env.scenario":
+            key = "env/scenario"
+        if "/" in key:
+            group, sub = key.split("/", 1)
+            if not (config_dir / group / sub).is_dir():
                 raise KeyError(
                     f"Override '{ov}' looks like a group swap but "
                     f"'{config_dir / group / sub}' is not a config group directory."
                 )
+            if group not in cfg:
+                raise KeyError(
+                    f"Override '{ov}' targets group '{group}' which is not part "
+                    f"of this config's defaults."
+                )
+            cfg[group][sub] = _load_yaml(config_dir / group / sub / f"{value}.yaml")
+            continue
         leaf_overrides.append(ov)
 
     for ov in leaf_overrides:

@@ -33,6 +33,8 @@ def select_along_last(values: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
 
     `take_along_axis` on the minor (lane) axis lowers to a per-element gather,
     which is very slow on TPU; for small trailing axes (actions, q-heads) the
-    one-hot select fuses on the VPU instead."""
+    one-hot select fuses on the VPU instead. Out-of-range indices clamp like
+    gather would, rather than silently contributing 0."""
+    index = jnp.clip(index, 0, values.shape[-1] - 1)
     onehot = index[..., None] == jnp.arange(values.shape[-1])
     return jnp.sum(jnp.where(onehot, values, 0), axis=-1)

@@ -168,7 +168,11 @@ class NeptuneLogger(BaseLogger):
         )
         self.run["config"] = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
         self.detailed = bool(cfg.logger.kwargs.get("detailed_logging", False))
-        self._json_base = os.path.join(cfg.logger.base_exp_path, "json")
+        # Only THIS run's marl-eval JSON directory (mirrors JsonLogger's layout) —
+        # zipping the shared json root would upload every historical run.
+        self._json_base = os.path.join(
+            cfg.logger.base_exp_path, "json", cfg.logger.system_name, unique_token
+        )
         self.unique_token = unique_token
 
     def log_stat(self, key, value, step, eval_step, event) -> None:

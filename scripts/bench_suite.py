@@ -90,16 +90,10 @@ def bench_one(name: str) -> None:
     )
     key = jax.random.PRNGKey(0)
 
-    if "rec" in module_name:
-        keys = jax.random.split(key, 3)
-        learn, _, learner_state = module.learner_setup(
-            env, tuple(keys), cfg, mesh, kwargs["centralised_critic"]
-        )
-    else:
-        keys = jax.random.split(key, 3)
-        learn, _, learner_state = module.learner_setup(
-            env, tuple(keys), cfg, mesh, kwargs["centralised_critic"]
-        )
+    keys = jax.random.split(key, 3)
+    learn, _, learner_state = module.learner_setup(
+        env, tuple(keys), cfg, mesh, kwargs["centralised_critic"]
+    )
 
     out = learn(learner_state)
     jax.block_until_ready(out)
