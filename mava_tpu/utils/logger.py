@@ -288,15 +288,15 @@ class MavaLogger:
         self.logger.log_dict(metrics, t, t_eval, event)
 
     def calc_winrate(self, episode_metrics: Dict, event: LogEvent) -> Dict:
-        if event == LogEvent.ABSOLUTE:
-            n_episodes = self.cfg.arch.num_eval_episodes * 10
-        else:
-            n_episodes = self.cfg.arch.num_eval_episodes
         # NOTE: mutates the caller's dict on purpose — systems read
         # eval_metrics["win_rate"] after logging, exactly as the reference relies on
         # (`mava/utils/logger.py:82-101` + `ff_ippo.py:555`).
-        n_won = np.sum(episode_metrics.pop("won_episode"))
-        episode_metrics["win_rate"] = (n_won / n_episodes) * 100
+        # The episode count comes from the metric array itself: the evaluator rounds
+        # the episode count UP to a multiple of the parallel envs, so dividing by the
+        # configured count (as the reference does) can report win rates above 100%.
+        won = episode_metrics.pop("won_episode")
+        n_episodes = max(int(np.size(won)), 1)
+        episode_metrics["win_rate"] = (np.sum(won) / n_episodes) * 100
         return episode_metrics
 
     def stop(self) -> None:
