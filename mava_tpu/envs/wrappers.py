@@ -18,6 +18,7 @@ from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from mava_tpu import specs
@@ -73,7 +74,9 @@ class GlobalStateWrapper(Wrapper):
         if hasattr(self._env, "get_global_state"):
             global_state = self._env.get_global_state(obs, state)
         else:
-            flat = jnp.concatenate(obs.agents_view, axis=0)
+            # Flatten each agent's full view (works for vector AND grid views),
+            # concat across agents, tile per agent.
+            flat = obs.agents_view.reshape(-1)
             global_state = jnp.tile(flat, (self.num_agents, 1))
         observation = ObservationGlobalState(
             agents_view=obs.agents_view,
@@ -97,9 +100,10 @@ class GlobalStateWrapper(Wrapper):
             global_state = self._env.global_state_spec()
         else:
             view = inner.agents_view
-            num_features = view.shape[-1]
+            # Product of all per-agent view dims (vector or grid), times num_agents.
+            per_agent = int(np.prod(view.shape[1:]))
             global_state = specs.Array(
-                (self.num_agents, self.num_agents * num_features),
+                (self.num_agents, self.num_agents * per_agent),
                 view.dtype,
                 "global_state",
             )

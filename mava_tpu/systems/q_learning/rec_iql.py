@@ -73,9 +73,14 @@ def make_update_fn(
         )
         new_key, explore_key = jax.random.split(key)
         action = eps_greedy_dist.sample(seed=explore_key)[0]  # (1,B,A) -> (B,A)
+        # Count GLOBAL env steps (shards step in lockstep): eps_decay is configured
+        # and logged in global timesteps, so per-shard counting (as in the
+        # single-process reference, `rec_iql.py:277`) would decay epsilon n_devices
+        # times slower on a mesh.
+        step_increment = cfg.arch.num_envs * cfg.arch.n_devices
         return (
             ActionSelectionState(
-                params, next_hidden_state, t + cfg.arch.num_envs, new_key
+                params, next_hidden_state, t + step_increment, new_key
             ),
             action,
         )

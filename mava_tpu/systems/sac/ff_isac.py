@@ -94,8 +94,12 @@ def init(cfg: Config, mesh, centralised_critic: bool = False) -> Tuple:
     )
     q1_params = q_network.init(q1_key, obs_batched, act_batched)
     q2_params = q_network.init(q2_key, obs_batched, act_batched)
-    q1_target_params = q_network.init(q1_t_key, obs_batched, act_batched)
-    q2_target_params = q_network.init(q2_t_key, obs_batched, act_batched)
+    # Targets start as COPIES of the online critics (standard SAC). The reference
+    # initialises them from fresh keys (`ff_isac.py:124-125`), which makes early TD
+    # targets pure noise until polyak averaging catches up — documented deviation.
+    del q1_t_key, q2_t_key
+    q1_target_params = q1_params
+    q2_target_params = q2_params
 
     target_entropy = -cfg.system.target_entropy_scale * action_dim
     target_entropy = jnp.repeat(target_entropy, n_agents).astype(float)[jnp.newaxis, :]
@@ -211,12 +215,14 @@ def make_update_fns(
         q1_loss = jnp.mean(jnp.square(q1_a_values - target))
         q2_loss = jnp.mean(jnp.square(q2_a_values - target))
         loss = q1_loss + q2_loss
+        # Means only: the logger reduces to a mean anyway, and carrying the full
+        # per-sample arrays through pmean + two scans wastes all-reduce bandwidth.
         loss_info = {
             "loss": loss,
             "q1_loss": q1_loss,
             "q2_loss": q2_loss,
-            "q1_a_vals": q1_a_values,
-            "q2_a_vals": q2_a_values,
+            "q1_a_vals": jnp.mean(q1_a_values),
+            "q2_a_vals": jnp.mean(q2_a_values),
         }
         return loss, loss_info
 
@@ -315,14 +321,21 @@ def make_update_fns(
         return params, opt_states, {"actor_loss": actor_loss, "alpha_loss": alpha_loss}
 
     # ---- act / train loops -----------------------------------------------------
-    def train(carry, _):
+    def train(carry, epoch_idx):
         buffer_state, params, opt_states, t, key = carry
         key, buff_key, q_key, actor_key = jax.random.split(key, 4)
         data = rb.sample(buffer_state, buff_key).experience
 
         params, opt_states, q_loss_info = update_q(params, opt_states, data, q_key)
+        # TD3-style delay gated on the TRAIN-step index. The reference gates on the
+        # env-step counter t (`ff_isac.py:400`), which is constant across the epochs
+        # scan and always a multiple of the delay whenever num_envs is — making the
+        # gate permanently true and the actor train delay-times too often. Gating on
+        # the epoch index restores the intended 1:1 average actor:critic ratio
+        # (the compensation loop below then runs `delay` updates every `delay`-th
+        # train) — documented deviation.
         params, opt_states, act_loss_info = jax.lax.cond(
-            t % cfg.system.policy_update_delay == 0,
+            epoch_idx % cfg.system.policy_update_delay == 0,
             update_actor_and_alpha,
             lambda params, opt_states, *_: (
                 params,
@@ -376,7 +389,7 @@ def make_update_fns(
 
         learn_state = (buffer_state, params, opt_states, t, learn_key)
         (buffer_state, params, opt_states, _, _), losses = jax.lax.scan(
-            train, learn_state, None, length=cfg.system.epochs
+            train, learn_state, jnp.arange(cfg.system.epochs)
         )
 
         t = t + cfg.arch.num_envs * cfg.system.rollout_length
@@ -474,14 +487,16 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
     learner_state, metrics = explore(learner_state)
     jax.block_until_ready(learner_state)
 
+    # Global env-step accounting: explore consumed explore-steps on EVERY shard.
     t = int(learner_state.t) * n_devices
     sps = t / (time.time() - start_time)
     logger.log({"step": t}, t, 0, LogEvent.MISC)
-    final_metrics, _ = get_final_step_metrics(metrics)
+    final_metrics, ep_completed = get_final_step_metrics(metrics)
     final_metrics["steps_per_second"] = sps
-    logger.log(final_metrics, cfg.system.explore_steps, 0, LogEvent.ACT)
+    if ep_completed:  # long time limits may complete no episode during exploration
+        logger.log(final_metrics, t, 0, LogEvent.ACT)
 
-    start = cfg.system.explore_steps
+    start = t
     stop = int(cfg.system.total_timesteps + 1)
     for eval_idx, t in enumerate(range(start, stop, steps_per_rollout)):
         start_time = time.time()
