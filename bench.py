@@ -9,8 +9,9 @@ rware-tiny (Papoudakis et al. era torch stack) and the driver target of >=10x th
 (BASELINE.md) as the baseline: vs_baseline = value / 7000.
 
 The measured configuration is the TPU-native operating point: one chip, a large
-vectorised env batch (256 envs/chip), the full fused train step (rollout + GAE + 4 PPO
-epochs), so "env-steps/s" counts only real training env steps.
+vectorised env batch (512 envs/chip — the measured throughput knee), the full fused
+train step (rollout + GAE + 4 PPO epochs), so "env-steps/s" counts only real training
+env steps.
 """
 
 from __future__ import annotations
@@ -23,7 +24,7 @@ import jax
 EPYMARL_EQUIVALENT_SPS = 700.0
 BASELINE_SPS = 10.0 * EPYMARL_EQUIVALENT_SPS
 
-NUM_ENVS = 256
+NUM_ENVS = 512
 ROLLOUT_LENGTH = 128
 UPDATES_PER_CALL = 4
 TIMED_CALLS = 5
