@@ -28,6 +28,55 @@ def switch_leading_axes(x: Any) -> Any:
     return jax.tree.map(lambda y: jnp.swapaxes(y, 0, 1), x)
 
 
+def pack_pytree_rows(tree: Any, num_rows: int):
+    """Pack every leaf of `tree` into ONE (num_rows, W) int32 buffer, bit-exactly.
+
+    TPU row gathers are row-DMA-bound: permuting a transition pytree leaf-by-leaf
+    pays ~one DMA per 4-byte element on the many (N,)-shaped leaves, measured at
+    ~1.6 ms/epoch at N=32768 vs ~0.4 ms for one wide packed gather. Packing the
+    whole minibatch payload into a single wide matrix makes the epoch shuffle one
+    contiguous-row gather.
+
+    float32/int32/uint32 leaves are bitcast (exact); bool leaves are widened to
+    int32 (exact). The int32 carrier avoids any float canonicalisation concerns
+    for NaN bit patterns. Returns `(packed, unpack)` where `unpack(rows)` maps any
+    (m, W) row slice back to the tree structure with leading dim m.
+    """
+    leaves, treedef = jax.tree.flatten(tree)
+    flats = []
+    widths = []
+    for leaf in leaves:
+        f = jnp.reshape(leaf, (num_rows, -1))
+        if f.dtype == jnp.bool_:
+            f = f.astype(jnp.int32)
+        elif f.dtype.itemsize == 4:
+            f = jax.lax.bitcast_convert_type(f, jnp.int32)
+        else:
+            raise TypeError(
+                f"pack_pytree_rows: unsupported dtype {f.dtype} "
+                "(only 4-byte dtypes and bool)"
+            )
+        flats.append(f)
+        widths.append(f.shape[1])
+    packed = flats[0] if len(flats) == 1 else jnp.concatenate(flats, axis=1)
+
+    def unpack(rows: jnp.ndarray) -> Any:
+        m = rows.shape[0]
+        out = []
+        offset = 0
+        for leaf, width in zip(leaves, widths):
+            sl = rows[:, offset : offset + width]
+            if leaf.dtype == jnp.bool_:
+                sl = sl.astype(jnp.bool_)
+            elif leaf.dtype != jnp.int32:
+                sl = jax.lax.bitcast_convert_type(sl, leaf.dtype)
+            out.append(jnp.reshape(sl, (m, *leaf.shape[1:])))
+            offset += width
+        return jax.tree.unflatten(treedef, out)
+
+    return packed, unpack
+
+
 def select_along_last(values: jnp.ndarray, index: jnp.ndarray) -> jnp.ndarray:
     """values[..., index] for a small last axis, as a one-hot multiply-sum.
 

@@ -92,3 +92,46 @@ def test_select_along_last_matches_take_along_axis():
     idx = jax.random.randint(key, (7, 3), 0, 5)
     expected = jnp.take_along_axis(vals, idx[..., None], axis=-1)[..., 0]
     np.testing.assert_allclose(select_along_last(vals, idx), expected, rtol=1e-6)
+
+
+def test_pack_pytree_rows_bit_exact_roundtrip():
+    import jax
+    import numpy as np
+
+    from mava_tpu.utils.jax_utils import pack_pytree_rows
+
+    n = 16
+    key = jax.random.PRNGKey(3)
+    tree = {
+        "f": jax.random.normal(key, (n, 2, 5)),
+        "weird": jnp.array([[np.nan, -0.0, np.inf, -np.inf]] * (n // 4)).reshape(
+            n, 1
+        ),
+        "i": jax.random.randint(key, (n, 3), -(2**30), 2**30),
+        "b": jax.random.bernoulli(key, 0.5, (n, 2, 4)),
+        "scalar_rows": jax.random.normal(key, (n,)),
+    }
+    packed, unpack = pack_pytree_rows(tree, n)
+    assert packed.shape == (n, 10 + 1 + 3 + 8 + 1)
+    assert packed.dtype == jnp.int32
+
+    out = unpack(packed)
+    for k in tree:
+        assert out[k].dtype == tree[k].dtype, k
+        assert out[k].shape == tree[k].shape, k
+        np.testing.assert_array_equal(
+            np.asarray(out[k]).view(np.uint8), np.asarray(tree[k]).view(np.uint8)
+        )
+
+    # Row slices unpack with the sliced leading dim.
+    half = unpack(packed[: n // 2])
+    np.testing.assert_array_equal(
+        np.asarray(half["f"]), np.asarray(tree["f"])[: n // 2]
+    )
+
+    # A permutation of packed rows unpacks to the same permutation of every leaf.
+    perm = jax.random.permutation(key, n)
+    permuted = unpack(jnp.take(packed, perm, axis=0))
+    np.testing.assert_array_equal(
+        np.asarray(permuted["i"]), np.asarray(tree["i"])[np.asarray(perm)]
+    )
