@@ -48,6 +48,7 @@ from mava_tpu.systems.ppo.types import (
 )
 from mava_tpu.types import ExperimentOutput, LearnerFn, MarlEnv
 from mava_tpu.utils.checkpointing import Checkpointer
+from mava_tpu.utils.jax_utils import pack_pytree_rows
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.timestep_checker import check_total_timesteps
@@ -142,10 +143,43 @@ def get_learner_fn(
             config.system.gae_lambda,
         )
 
+        # Chunked BPTT: split the rollout into contiguous time chunks, fold the
+        # chunk axis into the env/batch axis. The shuffle permutes whole SEQUENCES
+        # (never time steps), so transpose once to sequence-major rows and pack the
+        # payload bit-exactly into ONE wide int32 matrix — the per-epoch shuffle is
+        # then a single contiguous-row gather instead of a dozen strided axis-1
+        # gathers (same fix as ff_ippo, scripts/profile_bisect.py). The loss only
+        # reads the chunk-INITIAL hidden states (it re-runs the RNN from there) and
+        # never reads `info` — drop the full per-step hstates (the largest leaves)
+        # and the metrics dict from the payload.
+        chunk = config.system.recurrent_chunk_size
+        num_chunks = config.system.rollout_length // chunk
+        num_sequences = num_chunks * config.arch.num_envs
+        batch = (traj_batch, advantages, targets)
+        batch = jax.tree.map(
+            lambda x: x.reshape(num_chunks, chunk, *x.shape[1:])
+            .swapaxes(0, 1)
+            .reshape(chunk, num_chunks * x.shape[1], *x.shape[2:]),
+            batch,
+        )
+        tb = batch[0]
+        batch = (
+            tb._replace(
+                hstates=jax.tree.map(lambda h: h[0:1], tb.hstates), info={}
+            ),
+            batch[1],
+            batch[2],
+        )
+        seq_major = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), batch)
+        packed_batch, unpack_rows = pack_pytree_rows(seq_major, num_sequences)
+
         def _update_epoch(update_state: Tuple, permutation: jnp.ndarray) -> Tuple:
-            def _update_minibatch(train_state: Tuple, batch_info: Tuple) -> Tuple:
+            def _update_minibatch(train_state: Tuple, minibatch_rows) -> Tuple:
                 params, opt_states, key = train_state
-                traj_batch, advantages, targets = batch_info
+                minibatch = unpack_rows(minibatch_rows)
+                traj_batch, advantages, targets = jax.tree.map(
+                    lambda x: jnp.swapaxes(x, 0, 1), minibatch
+                )
 
                 def _actor_loss_fn(actor_params, traj_batch, gae, entropy_key):
                     obs_and_done = (traj_batch.obs, traj_batch.done)
@@ -215,60 +249,34 @@ def get_learner_fn(
                 }
                 return (new_params, new_opt_state, key), loss_info
 
-            params, opt_states, traj_batch, advantages, targets, key = update_state
+            params, opt_states, key = update_state
 
-            # Chunked BPTT: split the rollout into contiguous time chunks, fold the
-            # chunk axis into the env/batch axis, shuffle whole sequences.
-            chunk = config.system.recurrent_chunk_size
-            num_chunks = config.system.rollout_length // chunk
-            batch = (traj_batch, advantages, targets)
-            batch = jax.tree.map(
-                lambda x: x.reshape(num_chunks, chunk, *x.shape[1:])
-                .swapaxes(0, 1)
-                .reshape(chunk, num_chunks * x.shape[1], *x.shape[2:]),
-                batch,
+            # Shuffle whole sequences: one wide row gather of the packed payload.
+            shuffled = jnp.take(packed_batch, permutation, axis=0)
+            minibatches = jnp.reshape(
+                shuffled, (config.system.num_minibatches, -1, shuffled.shape[1])
             )
-            # The loss only reads the chunk-INITIAL hidden states (it re-runs the RNN
-            # from there) and never reads `info` — drop the full per-step hstates
-            # (the largest leaves in the batch) and the metrics dict before the
-            # shuffle gather instead of permuting them every epoch.
-            tb = batch[0]
-            batch = (
-                tb._replace(
-                    hstates=jax.tree.map(lambda h: h[0:1], tb.hstates), info={}
-                ),
-                batch[1],
-                batch[2],
-            )
-            shuffled = jax.tree.map(lambda x: jnp.take(x, permutation, axis=1), batch)
-            reshaped = jax.tree.map(
-                lambda x: jnp.reshape(
-                    x, (x.shape[0], config.system.num_minibatches, -1, *x.shape[2:])
-                ),
-                shuffled,
-            )
-            minibatches = jax.tree.map(lambda x: jnp.swapaxes(x, 1, 0), reshaped)
 
             (params, opt_states, key), loss_info = jax.lax.scan(
                 _update_minibatch, (params, opt_states, key), minibatches
             )
-            return (params, opt_states, traj_batch, advantages, targets, key), loss_info
+            return (params, opt_states, key), loss_info
 
-        # All epoch shuffles generated up front as ONE batched sort (see ff_ippo).
+        # All epoch shuffles generated up front as ONE batched argsort (see ff_ippo).
         key, shuffle_key = jax.random.split(key)
-        num_sequences = config.arch.num_envs * (
-            config.system.rollout_length // config.system.recurrent_chunk_size
+        permutations = jnp.argsort(
+            jax.random.uniform(
+                shuffle_key, (config.system.ppo_epochs, num_sequences)
+            ),
+            axis=1,
         )
-        permutations = jax.vmap(
-            lambda k: jax.random.permutation(k, num_sequences)
-        )(jax.random.split(shuffle_key, config.system.ppo_epochs))
 
-        update_state = (params, opt_states, traj_batch, advantages, targets, key)
+        update_state = (params, opt_states, key)
         update_state, loss_info = jax.lax.scan(
             _update_epoch, update_state, permutations
         )
 
-        params, opt_states, traj_batch, advantages, targets, key = update_state
+        params, opt_states, key = update_state
         learner_state = RNNLearnerState(
             params, opt_states, key, env_state, last_timestep, last_done, hstates
         )
