@@ -91,6 +91,10 @@ class ScannedRNN(nn.Module):
     """
 
     hidden_state_dim: int = 128
+    # When set, each step's output also includes its INPUT carry (pre-reset) — used
+    # by the post-rollout batched critic pass to reconstruct the per-step hidden
+    # states a fused in-rollout critic would have stored.
+    collect_carries: bool = False
 
     @functools.partial(
         nn.scan,
@@ -110,6 +114,8 @@ class ScannedRNN(nn.Module):
             carry,
         )
         new_rnn_state, y = nn.GRUCell(features=ins.shape[-1])(rnn_state, ins)
+        if self.collect_carries:
+            return new_rnn_state, (carry, y)
         return new_rnn_state, y
 
     @staticmethod
@@ -140,12 +146,18 @@ class RecurrentActor(nn.Module):
 
 
 class RecurrentValueNet(nn.Module):
-    """Recurrent V(obs); centralised variant consumes the global state."""
+    """Recurrent V(obs); centralised variant consumes the global state.
+
+    With `collect_carries` the call also returns every step's input hidden state
+    (pre-reset): `(final_hidden, (per_step_hidden, values))`. Parameters are
+    identical either way, so the same params serve both call styles.
+    """
 
     pre_torso: nn.Module
     post_torso: nn.Module
     centralised_critic: bool = False
     hidden_state_dim: int = 128
+    collect_carries: bool = False
 
     @nn.compact
     def __call__(
@@ -161,12 +173,19 @@ class RecurrentValueNet(nn.Module):
         else:
             x = observation.agents_view
         embedding = self.pre_torso(x)
-        value_hidden_state, embedding = ScannedRNN(self.hidden_state_dim)(
-            value_hidden_state, (embedding, done)
-        )
+        value_hidden_state, rnn_out = ScannedRNN(
+            self.hidden_state_dim, collect_carries=self.collect_carries
+        )(value_hidden_state, (embedding, done))
+        if self.collect_carries:
+            carries, embedding = rnn_out
+        else:
+            embedding = rnn_out
         embedding = self.post_torso(embedding)
         value = nn.Dense(1, kernel_init=orthogonal(1.0))(embedding)
-        return value_hidden_state, jnp.squeeze(value, axis=-1)
+        value = jnp.squeeze(value, axis=-1)
+        if self.collect_carries:
+            return value_hidden_state, (carries, value)
+        return value_hidden_state, value
 
 
 class RecQNetwork(nn.Module):

@@ -68,14 +68,11 @@ def get_learner_fn(
     actor_update_fn, critic_update_fn = update_fns
 
     def _update_step(learner_state: LearnerState, _: Any) -> Tuple[LearnerState, Tuple]:
-        def _env_step(
-            learner_state: LearnerState, _: Any
-        ) -> Tuple[LearnerState, PPOTransition]:
+        def _env_step(learner_state: LearnerState, _: Any) -> Tuple[LearnerState, Tuple]:
             params, opt_states, key, env_state, last_timestep = learner_state
 
             key, policy_key = jax.random.split(key)
             actor_policy = actor_apply_fn(params.actor_params, last_timestep.observation)
-            value = critic_apply_fn(params.critic_params, last_timestep.observation)
             action = actor_policy.sample(seed=policy_key)
             log_prob = actor_policy.log_prob(action)
 
@@ -86,19 +83,34 @@ def get_learner_fn(
             ).astype(jnp.float32)
             info = timestep.extras["episode_metrics"]
 
-            transition = PPOTransition(
-                done, action, value, timestep.reward, log_prob,
+            partial = (
+                done, action, timestep.reward, log_prob,
                 last_timestep.observation, info,
             )
             learner_state = LearnerState(params, opt_states, key, env_state, timestep)
-            return learner_state, transition
+            return learner_state, partial
 
-        learner_state, traj_batch = jax.lax.scan(
-            _env_step, learner_state, None, config.system.rollout_length
+        # The rollout scan runs ONLY what steering the envs needs: the actor forward
+        # (sample + log_prob come from the same logits). The critic depends only on
+        # params that are CONSTANT during the rollout, so values are computed
+        # afterwards in one batched MXU-friendly pass over the stored (T, E)
+        # observations instead of T tiny dispatch-bound in-scan calls — numerically
+        # identical.
+        learner_state, (dones, actions, rewards, log_probs, obs_seq, infos) = (
+            jax.lax.scan(_env_step, learner_state, None, config.system.rollout_length)
+        )
+
+        params = learner_state.params
+        values = critic_apply_fn(params.critic_params, obs_seq)
+        last_val = critic_apply_fn(
+            params.critic_params, learner_state.timestep.observation
+        )
+
+        traj_batch = PPOTransition(
+            dones, actions, values, rewards, log_probs, obs_seq, infos
         )
 
         params, opt_states, key, env_state, last_timestep = learner_state
-        last_val = critic_apply_fn(params.critic_params, last_timestep.observation)
         advantages, targets = calculate_gae(
             traj_batch.reward,
             traj_batch.value,

@@ -62,15 +62,17 @@ def get_learner_fn(
     update_fns: Tuple[Callable, Callable],
     config: Config,
 ) -> LearnerFn[RNNLearnerState]:
-    actor_apply_fn, critic_apply_fn = apply_fns
+    actor_apply_fn, critic_apply_fn, critic_carry_apply_fn = apply_fns
     actor_update_fn, critic_update_fn = update_fns
 
     def _update_step(
         learner_state: RNNLearnerState, _: Any
     ) -> Tuple[RNNLearnerState, Tuple]:
+        rollout_initial_critic_hstate = learner_state.hstates.critic_hidden_state
+
         def _env_step(
             learner_state: RNNLearnerState, _: Any
-        ) -> Tuple[RNNLearnerState, RNNPPOTransition]:
+        ) -> Tuple[RNNLearnerState, Tuple]:
             (params, opt_states, key, env_state, last_timestep, last_done,
              last_hstates) = learner_state
 
@@ -85,15 +87,10 @@ def get_learner_fn(
             policy_hidden_state, actor_policy = actor_apply_fn(
                 params.actor_params, last_hstates.policy_hidden_state, ac_in
             )
-            critic_hidden_state, value = critic_apply_fn(
-                params.critic_params, last_hstates.critic_hidden_state, ac_in
-            )
 
             action = actor_policy.sample(seed=policy_key)
             log_prob = actor_policy.log_prob(action)
-            value, action, log_prob = (
-                value.squeeze(0), action.squeeze(0), log_prob.squeeze(0),
-            )
+            action, log_prob = action.squeeze(0), log_prob.squeeze(0)
 
             env_state, timestep = jax.vmap(env.step)(env_state, action)
 
@@ -102,17 +99,23 @@ def get_learner_fn(
             )
             info = timestep.extras["episode_metrics"]
 
-            hstates = HiddenStates(policy_hidden_state, critic_hidden_state)
-            transition = RNNPPOTransition(
-                last_done, action, value, timestep.reward, log_prob,
-                last_timestep.observation, last_hstates, info,
+            # The critic is NOT run in the rollout scan — its hidden state is
+            # reconstructed afterwards in one batched pass (params are constant
+            # during the rollout, so the result is identical). The carried critic
+            # hstate stays at its rollout-initial value.
+            hstates = HiddenStates(
+                policy_hidden_state, last_hstates.critic_hidden_state
+            )
+            partial = (
+                last_done, action, timestep.reward, log_prob,
+                last_timestep.observation, last_hstates.policy_hidden_state, info,
             )
             learner_state = RNNLearnerState(
                 params, opt_states, key, env_state, timestep, done, hstates
             )
-            return learner_state, transition
+            return learner_state, partial
 
-        learner_state, traj_batch = jax.lax.scan(
+        learner_state, scan_out = jax.lax.scan(
             _env_step,
             learner_state,
             None,
@@ -120,18 +123,36 @@ def get_learner_fn(
             # Light unroll amortises scan-loop overhead in the latency-bound rollout.
             unroll=2,
         )
+        (dones, actions, rewards, log_probs, obs_seq, policy_hstates, infos) = scan_out
 
         (params, opt_states, key, env_state, last_timestep, last_done,
          hstates) = learner_state
 
-        batched_last_observation = jax.tree.map(
-            lambda x: x[jnp.newaxis, :], last_timestep.observation
+        # Batched critic pass over the stored rollout observations: values for GAE,
+        # per-step input hidden states for the chunked-BPTT loss, and the
+        # post-rollout critic state for the next update — one MXU-friendly pass
+        # instead of T tiny in-scan calls (numerically identical). The bootstrap
+        # value is one extra single-slice call from the final carry.
+        critic_hstate_after, (critic_carries, values) = critic_carry_apply_fn(
+            params.critic_params,
+            rollout_initial_critic_hstate,
+            (obs_seq, dones),
         )
-        ac_in = (batched_last_observation, last_done[jnp.newaxis, :])
+        batched_last_observation = jax.tree.map(
+            lambda x: x[jnp.newaxis], last_timestep.observation
+        )
         _, last_val = critic_apply_fn(
-            params.critic_params, hstates.critic_hidden_state, ac_in
+            params.critic_params,
+            critic_hstate_after,
+            (batched_last_observation, last_done[jnp.newaxis]),
         )
         last_val = last_val.squeeze(0)
+        hstates = HiddenStates(hstates.policy_hidden_state, critic_hstate_after)
+
+        traj_batch = RNNPPOTransition(
+            dones, actions, values, rewards, log_probs, obs_seq,
+            HiddenStates(policy_hstates, critic_carries), infos,
+        )
 
         advantages, targets = calculate_gae_with_next_done(
             traj_batch.reward,
@@ -324,6 +345,15 @@ def learner_setup(
         centralised_critic=centralised_critic,
         hidden_state_dim=config.network.hidden_state_dim,
     )
+    # Same params, carry-collecting call style — used for the post-rollout batched
+    # critic pass (values + per-step hidden states in one go).
+    critic_carry_network = Critic(
+        pre_torso=make_torso(config.network.critic_network.pre_torso),
+        post_torso=make_torso(config.network.critic_network.post_torso),
+        centralised_critic=centralised_critic,
+        hidden_state_dim=config.network.hidden_state_dim,
+        collect_carries=True,
+    )
 
     actor_lr = make_learning_rate(config.system.actor_lr, config)
     critic_lr = make_learning_rate(config.system.critic_lr, config)
@@ -351,7 +381,9 @@ def learner_setup(
     critic_params = critic_network.init(critic_net_key, init_critic_hstate, init_x)
     critic_opt_state = critic_optim.init(critic_params)
 
-    apply_fns = (actor_network.apply, critic_network.apply)
+    apply_fns = (
+        actor_network.apply, critic_network.apply, critic_carry_network.apply
+    )
     update_fns = (actor_optim.update, critic_optim.update)
 
     learner = get_learner_fn(env, apply_fns, update_fns, config)

@@ -87,3 +87,57 @@ def test_chunked_rerun_matches_full_sequence():
         np.testing.assert_allclose(
             np.asarray(ys_chunk), ys_full[start : start + chunk], rtol=1e-5, atol=1e-6
         )
+
+
+def test_collect_carries_matches_stepwise_critic():
+    """The post-rollout batched critic pass must reproduce exactly what the old
+    in-rollout critic produced: per-step values AND per-step input hidden states,
+    including around episode resets."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mava_tpu.networks import RecurrentValueNet, ScannedRNN
+    from mava_tpu.networks.factory import make_torso
+    from mava_tpu.types import Observation
+
+    T, E, A, F, H = 7, 3, 2, 5, 8
+    torso = {"type": "MLPTorso", "layer_sizes": [H]}
+    net = RecurrentValueNet(
+        pre_torso=make_torso(torso), post_torso=make_torso(torso),
+        hidden_state_dim=H,
+    )
+    net_carries = RecurrentValueNet(
+        pre_torso=make_torso(torso), post_torso=make_torso(torso),
+        hidden_state_dim=H, collect_carries=True,
+    )
+
+    key = jax.random.PRNGKey(0)
+    obs = Observation(
+        agents_view=jax.random.normal(key, (T, E, A, F)),
+        action_mask=jnp.ones((T, E, A, 4), bool),
+        step_count=jnp.zeros((T, E, A), jnp.int32),
+    )
+    dones = jax.random.bernoulli(key, 0.3, (T, E, A))
+    h0 = ScannedRNN.initialize_carry((E, A), H) + 0.1  # non-zero start
+
+    params = net.init(key, h0, (jax.tree.map(lambda x: x[:1], obs), dones[:1]))
+
+    # Old style: one step at a time, storing each step's input carry.
+    h = h0
+    stepwise_vals, stepwise_carries = [], []
+    for t in range(T):
+        stepwise_carries.append(h)
+        ob_t = jax.tree.map(lambda x: x[t : t + 1], obs)
+        h, v = net.apply(params, h, (ob_t, dones[t : t + 1]))
+        stepwise_vals.append(v[0])
+
+    final_h, (carries, vals) = net_carries.apply(params, h0, (obs, dones))
+
+    np.testing.assert_allclose(
+        np.asarray(vals), np.asarray(jnp.stack(stepwise_vals)), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(carries), np.asarray(jnp.stack(stepwise_carries)), rtol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(final_h), np.asarray(h), rtol=1e-6)
