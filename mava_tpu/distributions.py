@@ -40,6 +40,14 @@ class Categorical:
     def sample(self, seed: PRNGKey) -> Array:
         return jax.random.categorical(seed, self.logits, axis=-1)
 
+    def sample_from_noise(self, gumbel_noise: Array) -> Array:
+        """Sample via pre-generated Gumbel noise: argmax(logits + g).
+
+        Identical in distribution to `sample` (the Gumbel-max trick is exactly what
+        `jax.random.categorical` does); lets rollout scans hoist ALL their RNG into
+        one batched pre-scan call instead of per-step key splits + uniforms."""
+        return jnp.argmax(self.logits + gumbel_noise, axis=-1)
+
     def log_prob(self, value: Array) -> Array:
         log_probs = jax.nn.log_softmax(self.logits, axis=-1)
         # One-hot select instead of take_along_axis: a per-element gather along the
@@ -122,6 +130,11 @@ class TanhNormal:
     def sample(self, seed: PRNGKey) -> Array:
         eps = jax.random.normal(seed, self.loc.shape, dtype=self.loc.dtype)
         return jnp.tanh(self.loc + self.scale * eps)
+
+    def sample_from_noise(self, normal_noise: Array) -> Array:
+        """Sample via pre-generated standard-normal noise (same trick as the
+        Categorical Gumbel version: hoists rollout RNG out of the scan)."""
+        return jnp.tanh(self.loc + self.scale * normal_noise)
 
     def sample_and_log_prob(self, seed: PRNGKey):
         eps = jax.random.normal(seed, self.loc.shape, dtype=self.loc.dtype)

@@ -30,3 +30,16 @@ def make_action_head(cfg: Dict[str, Any], action_dim: int):
     cfg = dict(cfg)
     kind = cfg.pop("type")
     return _HEADS[kind](action_dim=action_dim, **cfg)
+
+
+def make_rollout_noise_fn(cfg: Dict[str, Any]):
+    """Pre-scan sampling-noise generator matching the head's `sample_from_noise`.
+
+    Rollout scans hoist ALL their RNG into one batched pre-scan draw: Gumbel noise
+    for discrete heads (Gumbel-max sampling), standard-normal noise for continuous
+    tanh-Normal heads. `fn(key, shape)` -> noise array."""
+    import jax
+
+    if cfg["type"] == "ContinuousActionHead":
+        return jax.random.normal
+    return jax.random.gumbel

@@ -28,7 +28,11 @@ from mava_tpu import envs as environments
 from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
 from mava_tpu.networks import FeedForwardActor as Actor
 from mava_tpu.networks import FeedForwardValueNet as Critic
-from mava_tpu.networks.factory import make_action_head, make_torso
+from mava_tpu.networks.factory import (
+    make_action_head,
+    make_rollout_noise_fn,
+    make_torso,
+)
 from mava_tpu.ops import calculate_gae, clipped_ppo_policy_loss, clipped_value_loss
 from mava_tpu.parallel import (
     DATA_AXIS,
@@ -66,14 +70,16 @@ def get_learner_fn(
     """
     actor_apply_fn, critic_apply_fn = apply_fns
     actor_update_fn, critic_update_fn = update_fns
+    noise_fn = make_rollout_noise_fn(config.network.action_head)
 
     def _update_step(learner_state: LearnerState, _: Any) -> Tuple[LearnerState, Tuple]:
-        def _env_step(learner_state: LearnerState, _: Any) -> Tuple[LearnerState, Tuple]:
+        def _env_step(
+            learner_state: LearnerState, sample_noise: jnp.ndarray
+        ) -> Tuple[LearnerState, Tuple]:
             params, opt_states, key, env_state, last_timestep = learner_state
 
-            key, policy_key = jax.random.split(key)
             actor_policy = actor_apply_fn(params.actor_params, last_timestep.observation)
-            action = actor_policy.sample(seed=policy_key)
+            action = actor_policy.sample_from_noise(sample_noise)
             log_prob = actor_policy.log_prob(action)
 
             env_state, timestep = jax.vmap(env.step)(env_state, action)
@@ -95,9 +101,24 @@ def get_learner_fn(
         # params that are CONSTANT during the rollout, so values are computed
         # afterwards in one batched MXU-friendly pass over the stored (T, E)
         # observations instead of T tiny dispatch-bound in-scan calls — numerically
-        # identical.
+        # identical. All rollout RNG is likewise hoisted: one batched noise draw
+        # (Gumbel for discrete, Normal for continuous heads) feeds the in-scan
+        # sampling (identical in distribution).
+        key, sample_key = jax.random.split(learner_state.key)
+        learner_state = learner_state._replace(key=key)
+        sample_noise = noise_fn(
+            sample_key,
+            (
+                config.system.rollout_length,
+                config.arch.num_envs,
+                config.system.num_agents,
+                env.action_dim,
+            ),
+        )
         learner_state, (dones, actions, rewards, log_probs, obs_seq, infos) = (
-            jax.lax.scan(_env_step, learner_state, None, config.system.rollout_length)
+            jax.lax.scan(
+                _env_step, learner_state, sample_noise, config.system.rollout_length
+            )
         )
 
         params = learner_state.params

@@ -28,7 +28,11 @@ from mava_tpu.evaluator import get_eval_fn, get_num_eval_envs, make_rec_eval_act
 from mava_tpu.networks import RecurrentActor as Actor
 from mava_tpu.networks import RecurrentValueNet as Critic
 from mava_tpu.networks import ScannedRNN
-from mava_tpu.networks.factory import make_action_head, make_torso
+from mava_tpu.networks.factory import (
+    make_action_head,
+    make_rollout_noise_fn,
+    make_torso,
+)
 from mava_tpu.ops import clipped_ppo_policy_loss, clipped_value_loss
 from mava_tpu.ops.gae import calculate_gae_with_next_done
 from mava_tpu.parallel import (
@@ -64,6 +68,7 @@ def get_learner_fn(
 ) -> LearnerFn[RNNLearnerState]:
     actor_apply_fn, critic_apply_fn, critic_carry_apply_fn = apply_fns
     actor_update_fn, critic_update_fn = update_fns
+    noise_fn = make_rollout_noise_fn(config.network.action_head)
 
     def _update_step(
         learner_state: RNNLearnerState, _: Any
@@ -71,12 +76,10 @@ def get_learner_fn(
         rollout_initial_critic_hstate = learner_state.hstates.critic_hidden_state
 
         def _env_step(
-            learner_state: RNNLearnerState, _: Any
+            learner_state: RNNLearnerState, sample_noise: jnp.ndarray
         ) -> Tuple[RNNLearnerState, Tuple]:
             (params, opt_states, key, env_state, last_timestep, last_done,
              last_hstates) = learner_state
-
-            key, policy_key = jax.random.split(key)
 
             # Networks consume one time slice: add a leading time dim of 1.
             batched_observation = jax.tree.map(
@@ -88,7 +91,7 @@ def get_learner_fn(
                 params.actor_params, last_hstates.policy_hidden_state, ac_in
             )
 
-            action = actor_policy.sample(seed=policy_key)
+            action = actor_policy.sample_from_noise(sample_noise[jnp.newaxis])
             log_prob = actor_policy.log_prob(action)
             action, log_prob = action.squeeze(0), log_prob.squeeze(0)
 
@@ -115,10 +118,22 @@ def get_learner_fn(
             )
             return learner_state, partial
 
+        # All rollout RNG hoisted into one batched noise draw (see ff_ippo).
+        key, sample_key = jax.random.split(learner_state.key)
+        learner_state = learner_state._replace(key=key)
+        sample_noise = noise_fn(
+            sample_key,
+            (
+                config.system.rollout_length,
+                config.arch.num_envs,
+                config.system.num_agents,
+                env.action_dim,
+            ),
+        )
         learner_state, scan_out = jax.lax.scan(
             _env_step,
             learner_state,
-            None,
+            sample_noise,
             config.system.rollout_length,
             # Light unroll amortises scan-loop overhead in the latency-bound rollout.
             unroll=2,

@@ -95,3 +95,30 @@ def test_eps_greedy_sample_distribution():
     np.testing.assert_allclose(freqs[1], 0.5 + 0.5 / 3, atol=0.03)
     np.testing.assert_allclose(freqs[0], 0.5 / 3, atol=0.03)
     assert freqs[3] == 0.0
+
+
+def test_sample_from_noise_matches_sample():
+    """Hoisted-noise sampling must match seeded sampling exactly: categorical is
+    argmax(logits + gumbel(key)) (what jax.random.categorical does), tanh-normal is
+    tanh(loc + scale * normal(key))."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mava_tpu.distributions import Categorical, TanhNormal
+
+    key = jax.random.PRNGKey(7)
+    logits = jax.random.normal(key, (6, 3, 5))
+    d = Categorical(logits)
+    np.testing.assert_array_equal(
+        np.asarray(d.sample(seed=key)),
+        np.asarray(d.sample_from_noise(jax.random.gumbel(key, logits.shape))),
+    )
+
+    loc = jax.random.normal(key, (6, 4))
+    t = TanhNormal(loc, jnp.ones_like(loc) * 0.5)
+    np.testing.assert_allclose(
+        np.asarray(t.sample(seed=key)),
+        np.asarray(t.sample_from_noise(jax.random.normal(key, loc.shape))),
+        rtol=1e-6,
+    )
