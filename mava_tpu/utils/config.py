@@ -132,12 +132,40 @@ def _set_dotted(
     node[keys[-1]] = value
 
 
+_cache_enabled = False
+
+
+def enable_persistent_compilation_cache() -> None:
+    """Point JAX at an on-disk XLA compilation cache (idempotent).
+
+    Large-env programs take minutes to compile through the TPU tunnel; the
+    persistent cache makes every repeat spin-up (bench re-runs, CLI restarts,
+    tests) near-instant. Opt out with MAVA_TPU_NO_COMPILATION_CACHE=1.
+    """
+    global _cache_enabled
+    if _cache_enabled or os.environ.get("MAVA_TPU_NO_COMPILATION_CACHE"):
+        return
+    import jax
+
+    cache_dir = os.environ.get(
+        "MAVA_TPU_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "mava_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:  # pragma: no cover - older jaxlib without the flags
+        return
+    _cache_enabled = True
+
+
 def load_config(
     default_name: str,
     overrides: Optional[Sequence[str]] = None,
     config_dir: Optional[os.PathLike] = None,
 ) -> Config:
     """Compose a config from `configs/<default_name>.yaml` plus CLI-style overrides."""
+    enable_persistent_compilation_cache()
     config_dir = Path(config_dir) if config_dir is not None else CONFIG_DIR
     top = _load_yaml(config_dir / f"{default_name}.yaml")
     defaults: Dict[str, str] = top.pop("defaults", {})
