@@ -131,3 +131,15 @@ def test_store_experience(fast_config_overrides, tmp_path, monkeypatch):
     vault_dirs = list((tmp_path / "vaults" / "store_exp_test").iterdir())
     assert len(vault_dirs) == 1
     assert (vault_dirs[0] / "manifest.json").exists()
+
+
+def test_ff_ippo_continuous_maswarm(fast_config_overrides):
+    """PPO with the continuous tanh-Normal head (network=continuous_mlp) end-to-end —
+    exercises TanhNormal.sample_from_noise in the hoisted-RNG rollout."""
+    perf = _run(
+        "ppo.ff_ippo",
+        "default_ff_ippo",
+        fast_config_overrides
+        + ["env=maswarm", "network=continuous_mlp", "env.kwargs.time_limit=16"],
+    )
+    assert isinstance(perf, float)
