@@ -172,6 +172,35 @@ def load_config(
 
     # Group switches in the overrides replace the default option before composing.
     overrides = list(overrides or [])
+    if any(ov in ("--help", "-h", "help") for ov in overrides):
+        lines = [
+            f"Usage: python -m mava_tpu.systems.<family>.<system> [group=option ...]"
+            f" [a.b.c=value ...]",
+            "",
+            f"Defaults ({default_name}.yaml):",
+        ]
+        for group, option in defaults.items():
+            choices = sorted(
+                str(p.relative_to(config_dir / group)).removesuffix(".yaml")
+                for p in (config_dir / group).glob("**/*.yaml")
+                if p.parent.name != "scenario"
+            )
+            lines.append(f"  {group}={option}    (choices: {', '.join(choices)})")
+        scen_dir = config_dir / "env" / "scenario"
+        if scen_dir.is_dir():
+            lines.append(
+                "  env/scenario=<name>    (choices: "
+                + ", ".join(sorted(p.stem for p in scen_dir.glob("*.yaml")))
+                + ")"
+            )
+        lines += [
+            "",
+            "Leaf overrides set EXISTING keys (strict): system.seed=7,"
+            " arch.num_envs=256, system.total_timesteps=20000000 ...",
+            "Add new keys with a leading '+': +system.my_flag=1",
+        ]
+        print("\n".join(lines))
+        raise SystemExit(0)
     remaining: List[str] = []
     for ov in overrides:
         if "=" not in ov:
