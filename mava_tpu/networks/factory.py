@@ -37,9 +37,17 @@ def make_rollout_noise_fn(cfg: Dict[str, Any]):
 
     Rollout scans hoist ALL their RNG into one batched pre-scan draw: Gumbel noise
     for discrete heads (Gumbel-max sampling), standard-normal noise for continuous
-    tanh-Normal heads. `fn(key, shape)` -> noise array."""
+    tanh-Normal heads. `fn(key, shape)` -> noise array. Explicit dispatch so a new
+    head type fails loudly here until its noise distribution is registered."""
     import jax
 
-    if cfg["type"] == "ContinuousActionHead":
-        return jax.random.normal
-    return jax.random.gumbel
+    noise_fns = {
+        "DiscreteActionHead": jax.random.gumbel,
+        "ContinuousActionHead": jax.random.normal,
+    }
+    if cfg["type"] not in noise_fns:
+        raise KeyError(
+            f"make_rollout_noise_fn: no sampling-noise distribution registered for "
+            f"action head {cfg['type']!r}"
+        )
+    return noise_fns[cfg["type"]]

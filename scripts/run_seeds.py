@@ -24,9 +24,17 @@ from mava_tpu.utils.config import load_config
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        print(__doc__)
+        raise SystemExit(1)
     module_name, default = sys.argv[1], sys.argv[2]
-    seeds = [int(s) for s in sys.argv[3].split(",")]
-    overrides = sys.argv[4:]
+    try:
+        seeds = [int(s) for s in sys.argv[3].split(",")]
+        overrides = sys.argv[4:]
+    except (IndexError, ValueError):
+        # Seeds argument omitted — everything from argv[3] on is overrides.
+        seeds = [42, 7, 123]
+        overrides = sys.argv[3:]
 
     module = importlib.import_module(f"mava_tpu.systems.{module_name}")
     results = []
