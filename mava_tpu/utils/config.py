@@ -165,7 +165,6 @@ def load_config(
     config_dir: Optional[os.PathLike] = None,
 ) -> Config:
     """Compose a config from `configs/<default_name>.yaml` plus CLI-style overrides."""
-    enable_persistent_compilation_cache()
     config_dir = Path(config_dir) if config_dir is not None else CONFIG_DIR
     top = _load_yaml(config_dir / f"{default_name}.yaml")
     defaults: Dict[str, str] = top.pop("defaults", {})
@@ -201,6 +200,8 @@ def load_config(
         ]
         print("\n".join(lines))
         raise SystemExit(0)
+    # After the (jax-free) help path: point JAX at the persistent compile cache.
+    enable_persistent_compilation_cache()
     remaining: List[str] = []
     for ov in overrides:
         if "=" not in ov:

@@ -46,10 +46,10 @@ def pack_pytree_rows(tree: Any, num_rows: int):
     flats = []
     widths = []
     for leaf in leaves:
-        if leaf.shape[0] != num_rows:
+        if leaf.ndim == 0 or leaf.shape[0] != num_rows:
             raise ValueError(
-                f"pack_pytree_rows: leaf has leading dim {leaf.shape[0]}, "
-                f"expected {num_rows} (shape {leaf.shape})"
+                f"pack_pytree_rows: leaf has shape {leaf.shape}, expected leading "
+                f"dim {num_rows}"
             )
         f = jnp.reshape(leaf, (num_rows, -1))
         if f.dtype == jnp.bool_:

@@ -122,3 +122,33 @@ def test_sample_from_noise_matches_sample():
         np.asarray(t.sample_from_noise(jax.random.normal(key, loc.shape))),
         rtol=1e-6,
     )
+
+
+def test_log_prob_from_params_matches_distribution_log_prob():
+    """Deferred log_prob reconstruction (store raw_params in the rollout scan,
+    recompute post-scan) must equal the distribution's own log_prob exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mava_tpu.distributions import MaskedCategorical, TanhNormal
+    from mava_tpu.networks.factory import make_log_prob_from_params
+
+    key = jax.random.PRNGKey(11)
+    logits = jax.random.normal(key, (4, 3, 6))
+    mask = jax.random.bernoulli(key, 0.7, (4, 3, 6)).at[..., 0].set(True)
+    d = MaskedCategorical(logits, mask)
+    action = d.sample(seed=key)
+    fn = make_log_prob_from_params({"type": "DiscreteActionHead"})
+    np.testing.assert_array_equal(
+        np.asarray(fn(d.raw_params(), action)), np.asarray(d.log_prob(action))
+    )
+
+    loc = jax.random.normal(key, (4, 5))
+    scale = jnp.exp(jax.random.normal(key, (4, 5)) * 0.3)
+    t = TanhNormal(loc, scale)
+    a = t.sample(seed=key)
+    fn = make_log_prob_from_params({"type": "ContinuousActionHead"})
+    np.testing.assert_allclose(
+        np.asarray(fn(t.raw_params(), a)), np.asarray(t.log_prob(a)), rtol=1e-6
+    )
