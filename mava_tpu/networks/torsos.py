@@ -45,24 +45,31 @@ class MLPTorso(nn.Module):
 
 class CNNTorso(nn.Module):
     """A stack of Conv layers; collapses (H, W, C) into one feature axis at the end,
-    keeping any batch/agent/time leading dims (reference `networks.py:61-85`)."""
+    keeping any batch/agent/time leading dims (reference `networks.py:61-85`).
+
+    `compute_dtype: bfloat16` runs the convolutions in bf16 (params and outputs stay
+    float32) — the CNN path is conv-flop-bound on the MXU, where bf16 doubles peak.
+    Opt-in via the network config; default float32 matches the reference numerics.
+    """
 
     channel_sizes: Sequence[int]
     kernel_sizes: Sequence[int]
     strides: Sequence[int]
     activation: str = "relu"
     use_layer_norm: bool = False
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = parse_activation_fn(self.activation)
-        x = x.astype(jnp.float32)
+        dtype = jnp.dtype(self.compute_dtype)
+        x = x.astype(dtype)
         for channel, kernel, stride in zip(
             self.channel_sizes, self.kernel_sizes, self.strides
         ):
-            x = nn.Conv(channel, (kernel, kernel), (stride, stride))(x)
+            x = nn.Conv(channel, (kernel, kernel), (stride, stride), dtype=dtype)(x)
             if self.use_layer_norm:
-                x = nn.LayerNorm(use_scale=False)(x)
+                x = nn.LayerNorm(use_scale=False, dtype=dtype)(x)
             x = act(x)
         # Merge the trailing (H, W, C) dims into a single feature axis.
-        return jax.lax.collapse(x, x.ndim - 3)
+        return jax.lax.collapse(x.astype(jnp.float32), x.ndim - 3)
