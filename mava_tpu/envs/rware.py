@@ -239,12 +239,16 @@ class RobotWarehouse:
         agent_pos = agent_pos.astype(jnp.int32)
         agent_dir = jax.random.randint(dir_key, (self.num_agents,), 0, 4)
 
-        req_scores, _ = jax.lax.top_k(
+        # Build the request mask from top_k's INDICES (compare-based, scatter-free)
+        # so exactly request_queue_size shelves are requested regardless of ties —
+        # the old score-threshold compare silently relied on two uniform() calls
+        # being bit-identical (ADVICE r1).
+        _, req_idx = jax.lax.top_k(
             jax.random.uniform(req_key, (self.num_shelves,)),
             self.request_queue_size,
         )
-        shelf_requested = (
-            jax.random.uniform(req_key, (self.num_shelves,)) >= req_scores[-1]
+        shelf_requested = jnp.any(
+            req_idx[:, None] == jnp.arange(self.num_shelves)[None, :], axis=0
         )
 
         state = RwareState(

@@ -237,10 +237,15 @@ def get_learner_fn(
         # All epoch shuffles generated up front as ONE batched argsort — TPU sorts
         # are expensive, and a (ppo_epochs, N) batched sort costs about the same as
         # one (a vmapped `random.permutation` is ~5x the batched argsort).
+        # Sort raw uint32 bits, not float32 uniforms: floats only span 2^24 distinct
+        # values, so at N~65k stable-argsort tie-breaking slightly biases the
+        # permutation toward original order (ADVICE r1); uint32 makes ties ~2^-32.
         key, shuffle_key = jax.random.split(key)
         permutations = jnp.argsort(
-            jax.random.uniform(
-                shuffle_key, (config.system.ppo_epochs, batch_size)
+            jax.random.bits(
+                shuffle_key,
+                (config.system.ppo_epochs, batch_size),
+                dtype=jnp.uint32,
             ),
             axis=1,
         )

@@ -308,8 +308,10 @@ def get_learner_fn(
         # All epoch shuffles generated up front as ONE batched argsort (see ff_ippo).
         key, shuffle_key = jax.random.split(key)
         permutations = jnp.argsort(
-            jax.random.uniform(
-                shuffle_key, (config.system.ppo_epochs, num_sequences)
+            jax.random.bits(
+                shuffle_key,
+                (config.system.ppo_epochs, num_sequences),
+                dtype=jnp.uint32,
             ),
             axis=1,
         )

@@ -180,7 +180,11 @@ class NeptuneLogger(BaseLogger):
         is_main = any(key.startswith(m) for m in self._MAIN_METRICS)
         if not (self.detailed or is_main):
             return
-        self.run[f"{event.value}/{key}"].log(value, step=step)
+        handler = self.run[f"{event.value}/{key}"]
+        if hasattr(handler, "append"):  # neptune >=1.0 (Handler.log is deprecated)
+            handler.append(value, step=step)
+        else:  # pragma: no cover - old neptune clients
+            handler.log(value, step=step)
 
     def stop(self) -> None:  # pragma: no cover - needs live neptune run
         if os.path.isdir(self._json_base):
