@@ -30,6 +30,7 @@ from mava_tpu.systems.ppo.types import LearnerState
 from mava_tpu.types import ExperimentOutput
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
+from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
@@ -99,19 +100,22 @@ def run_experiment(_config: Config) -> float:
     vault = Vault(vault_name=config.logger.system_name)
 
     for eval_step in range(config.arch.num_evaluation):
+        timer = PhaseTimer()
         start_time = time.time()
-        learner_output, trajectories = learn(learner_state)
-        jax.block_until_ready(learner_output)
+        with maybe_trace(config, eval_step), timer.phase("learn"):
+            learner_output, trajectories = learn(learner_state)
+            jax.block_until_ready(learner_output)
 
         # (NU, T, E, ...) -> (E*NU, T, ...): batch-major slabs for the vault
         # (reference reshape `ff_ippo_store_experience.py:308-341`).
-        flat = jax.tree.map(
-            lambda x: jnp.moveaxis(x, 2, 0).reshape(
-                x.shape[2] * x.shape[0], x.shape[1], *x.shape[3:]
-            ),
-            trajectories,
-        )
-        vault.write(jax.device_get(flat))
+        with timer.phase("vault"):
+            flat = jax.tree.map(
+                lambda x: jnp.moveaxis(x, 2, 0).reshape(
+                    x.shape[2] * x.shape[0], x.shape[1], *x.shape[3:]
+                ),
+                trajectories,
+            )
+            vault.write(jax.device_get(flat))
 
         elapsed_time = time.time() - start_time
         t = int(steps_per_rollout * (eval_step + 1))
@@ -119,7 +123,7 @@ def run_experiment(_config: Config) -> float:
             learner_output.episode_metrics
         )
         episode_metrics["steps_per_second"] = steps_per_rollout / elapsed_time
-        logger.log({"timestep": t}, t, eval_step, LogEvent.MISC)
+        logger.log({"timestep": t, **timer.metrics()}, t, eval_step, LogEvent.MISC)
         if ep_completed:
             logger.log(episode_metrics, t, eval_step, LogEvent.ACT)
         logger.log(learner_output.train_metrics, t, eval_step, LogEvent.TRAIN)
@@ -135,6 +139,12 @@ def run_experiment(_config: Config) -> float:
 
 def main() -> float:
     import sys
+
+    # Multi-process bootstrap (no-op off a pod slice) — must precede any
+    # backend-touching jax call (SURVEY.md §2.7 multi-host row).
+    from mava_tpu.parallel import initialize
+
+    initialize()
 
     cfg = load_config("default_ff_ippo", sys.argv[1:])
     cfg.logger.system_name = "ff_ippo_store_experience"

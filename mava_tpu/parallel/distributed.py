@@ -21,6 +21,7 @@ from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mava_tpu.parallel.mesh import DATA_AXIS
@@ -32,9 +33,13 @@ def initialize(
     process_id: Optional[int] = None,
 ) -> None:
     """Bootstrap multi-process JAX. With no args, relies on cluster auto-detection
-    (TPU pod env vars). No-op if already initialized or single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    (TPU pod env vars). No-op if already initialized or single-process.
+
+    MUST be called before any other jax API that touches the backend (e.g.
+    `jax.devices()`, `jax.process_count()`) — every system `main()` calls this
+    first. Deliberately does NOT query `jax.process_count()` itself: that would
+    initialize the local backend and break the pod bootstrap.
+    """
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -42,12 +47,77 @@ def initialize(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
-        # Single-process run (no cluster env): nothing to do.
+        # Single-process run (no cluster env vars / already initialized).
         pass
 
 
 def is_main_process() -> bool:
     return jax.process_index() == 0
+
+
+def put_replicated(tree: Any, mesh: Mesh) -> Any:
+    """Place a host-built pytree replicated over the mesh; multi-process safe.
+
+    Every process must pass the same values (true by construction here: init code
+    is deterministic and identical across hosts).
+    """
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        tree,
+    )
+
+
+def put_sharded_rows(tree: Any, mesh: Mesh) -> Any:
+    """Place a host-built GLOBAL pytree sharded on its leading axis; multi-process
+    safe. Each process materializes only its contiguous row slice (mesh device
+    order is process-major, matching `jax.devices()`).
+    """
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    n_proc = jax.process_count()
+    idx = jax.process_index()
+
+    def go(x: Any) -> Any:
+        rows = x.shape[0] // n_proc
+        local = np.asarray(x[idx * rows : (idx + 1) * rows])
+        return jax.make_array_from_process_local_data(sharding, local)
+
+    return jax.tree.map(go, tree)
+
+
+def tile_for_shards(tree: Any, mesh: Mesh) -> Any:
+    """Tile a PER-SHARD pytree template along its leading axis so every mesh shard
+    gets an identical copy (global leading dim = n_shards * local leading dim),
+    materializing only this process's local rows. Used for replay-buffer
+    experience and RNN hidden-state initialisation, where every shard starts from
+    the same template but evolves its own rows.
+    """
+    n_global = int(mesh.devices.size)
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    if jax.process_count() == 1:
+
+        def rep(x: jnp.ndarray) -> jnp.ndarray:
+            tiled = jnp.broadcast_to(x, (n_global, *x.shape)).reshape(
+                n_global * x.shape[0], *x.shape[1:]
+            )
+            return jax.device_put(tiled, sharding)
+
+        return jax.tree.map(rep, tree)
+
+    n_local = n_global // jax.process_count()
+
+    def rep_local(x: Any) -> Any:
+        x = np.asarray(x)
+        tiled = np.broadcast_to(x, (n_local, *x.shape)).reshape(
+            n_local * x.shape[0], *x.shape[1:]
+        )
+        return jax.make_array_from_process_local_data(sharding, tiled)
+
+    return jax.tree.map(rep_local, tree)
 
 
 def sharded_env_reset(

@@ -40,11 +40,11 @@ from mava_tpu.parallel import (
     build_learner,
     make_mesh,
     num_learner_devices,
-    replicate_sharding,
-    shard_leading_axis,
+    put_replicated,
+    put_sharded_rows,
+    sharded_env_reset,
 )
-from mava_tpu.parallel.distributed import sharded_env_reset
-from mava_tpu.utils.profiling import maybe_trace
+from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
 from mava_tpu.systems.ppo.types import LearnerState, OptStates, Params, PPOTransition
 from mava_tpu.types import ExperimentOutput, LearnerFn, MarlEnv
 from mava_tpu.utils.checkpointing import Checkpointer
@@ -364,13 +364,9 @@ def learner_setup(
     key, step_key = jax.random.split(key)
     step_keys = jax.random.split(step_key, n_devices)
 
-    replicated = replicate_sharding(mesh)
-    sharded = shard_leading_axis(mesh)
-    params = jax.device_put(params, replicated)
-    opt_states = jax.device_put(
-        OptStates(actor_opt_state, critic_opt_state), replicated
-    )
-    step_keys = jax.device_put(step_keys, sharded)
+    params = put_replicated(params, mesh)
+    opt_states = put_replicated(OptStates(actor_opt_state, critic_opt_state), mesh)
+    step_keys = put_sharded_rows(step_keys, mesh)
 
     init_learner_state = LearnerState(
         params, opt_states, step_keys, env_states, timesteps
@@ -428,8 +424,9 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
     max_episode_return = -jnp.inf
     best_params = None
     for eval_step in range(config.arch.num_evaluation):
+        timer = PhaseTimer()
         start_time = time.time()
-        with maybe_trace(config, eval_step):
+        with maybe_trace(config, eval_step), timer.phase("learn"):
             learner_output = learn(learner_state)
             jax.block_until_ready(learner_output)
 
@@ -440,15 +437,16 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         )
         episode_metrics["steps_per_second"] = steps_per_rollout / elapsed_time
 
-        logger.log({"timestep": t}, t, eval_step, LogEvent.MISC)
         if ep_completed:
             logger.log(episode_metrics, t, eval_step, LogEvent.ACT)
         logger.log(learner_output.train_metrics, t, eval_step, LogEvent.TRAIN)
 
         trained_params = learner_output.learner_state.params.actor_params
         key_e, eval_key = jax.random.split(key_e)
-        eval_metrics = evaluator(trained_params, eval_key, {})
+        with timer.phase("eval"):
+            eval_metrics = evaluator(trained_params, eval_key, {})
         logger.log(eval_metrics, t, eval_step, LogEvent.EVAL)
+        logger.log({"timestep": t, **timer.metrics()}, t, eval_step, LogEvent.MISC)
         episode_return = jnp.mean(eval_metrics["episode_return"])
 
         if save_checkpoint:
@@ -483,6 +481,12 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
 
 def main() -> float:
     import sys
+
+    # Multi-process bootstrap (no-op off a pod slice) — must precede any
+    # backend-touching jax call (SURVEY.md §2.7 multi-host row).
+    from mava_tpu.parallel import initialize
+
+    initialize()
 
     overrides = sys.argv[1:]
     cfg = load_config("default_ff_ippo", overrides)

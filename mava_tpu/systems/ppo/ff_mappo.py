@@ -18,6 +18,12 @@ def run_experiment(config: Config) -> float:
 def main() -> float:
     import sys
 
+    # Multi-process bootstrap (no-op off a pod slice) — must precede any
+    # backend-touching jax call (SURVEY.md §2.7 multi-host row).
+    from mava_tpu.parallel import initialize
+
+    initialize()
+
     cfg = load_config("default_ff_mappo", sys.argv[1:])
     performance = run_experiment(cfg)
     print("ff-MAPPO experiment completed.")

@@ -41,8 +41,10 @@ from mava_tpu.parallel import (
     build_learner,
     make_mesh,
     num_learner_devices,
-    replicate_sharding,
-    shard_leading_axis,
+    put_replicated,
+    put_sharded_rows,
+    sharded_env_reset,
+    tile_for_shards,
 )
 from mava_tpu.systems.ppo.types import (
     HiddenStates,
@@ -56,6 +58,7 @@ from mava_tpu.utils.checkpointing import Checkpointer
 from mava_tpu.utils.jax_utils import pack_pytree_rows
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
+from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.utils.training import make_learning_rate, make_optimizer
 from mava_tpu.envs.wrappers import get_final_step_metrics
@@ -447,30 +450,26 @@ def learner_setup(
         params = restored_params
         hstates = restored_hstates if restored_hstates else hstates
 
-    key, *env_keys = jax.random.split(key, n_devices * config.arch.num_envs + 1)
-    env_states, timesteps = jax.vmap(env.reset)(jnp.stack(env_keys))
-
-    dones = jnp.zeros((n_devices * config.arch.num_envs, num_agents), dtype=bool)
-    # Hidden states are per-env state: give them a global env leading axis.
-    global_hstates = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_devices, *x.shape)).reshape(
-            n_devices * x.shape[0], *x.shape[1:]
-        ),
-        hstates,
+    # Env states sharded over the env axis (per-host local resets on a pod slice —
+    # see parallel/distributed.py).
+    key, env_key = jax.random.split(key)
+    env_states, timesteps = sharded_env_reset(
+        env, env_key, n_devices * config.arch.num_envs, mesh
     )
+
+    # Dones and hidden states are per-env state: identical per-shard templates,
+    # tiled to the global env axis (only local rows materialized on a pod slice).
+    dones = tile_for_shards(
+        jnp.zeros((config.arch.num_envs, num_agents), dtype=bool), mesh
+    )
+    global_hstates = tile_for_shards(hstates, mesh)
 
     key, step_key = jax.random.split(key)
     step_keys = jax.random.split(step_key, n_devices)
 
-    replicated = replicate_sharding(mesh)
-    sharded = shard_leading_axis(mesh)
-    params = jax.device_put(params, replicated)
-    opt_states = jax.device_put(OptStates(actor_opt_state, critic_opt_state), replicated)
-    step_keys = jax.device_put(step_keys, sharded)
-    env_states = jax.device_put(env_states, sharded)
-    timesteps = jax.device_put(timesteps, sharded)
-    dones = jax.device_put(dones, sharded)
-    global_hstates = jax.device_put(global_hstates, sharded)
+    params = put_replicated(params, mesh)
+    opt_states = put_replicated(OptStates(actor_opt_state, critic_opt_state), mesh)
+    step_keys = put_sharded_rows(step_keys, mesh)
 
     init_learner_state = RNNLearnerState(
         params=params,
@@ -546,9 +545,11 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
     max_episode_return = -jnp.inf
     best_params = None
     for eval_step in range(config.arch.num_evaluation):
+        timer = PhaseTimer()
         start_time = time.time()
-        learner_output = learn(learner_state)
-        jax.block_until_ready(learner_output)
+        with maybe_trace(config, eval_step), timer.phase("learn"):
+            learner_output = learn(learner_state)
+            jax.block_until_ready(learner_output)
 
         elapsed_time = time.time() - start_time
         t = int(steps_per_rollout * (eval_step + 1))
@@ -557,15 +558,18 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         )
         episode_metrics["steps_per_second"] = steps_per_rollout / elapsed_time
 
-        logger.log({"timestep": t}, t, eval_step, LogEvent.MISC)
         if ep_completed:
             logger.log(episode_metrics, t, eval_step, LogEvent.ACT)
         logger.log(learner_output.train_metrics, t, eval_step, LogEvent.TRAIN)
 
         trained_params = learner_output.learner_state.params.actor_params
         key_e, eval_key = jax.random.split(key_e)
-        eval_metrics = evaluator(trained_params, eval_key, {"hidden_state": eval_hs})
+        with timer.phase("eval"):
+            eval_metrics = evaluator(
+                trained_params, eval_key, {"hidden_state": eval_hs}
+            )
         logger.log(eval_metrics, t, eval_step, LogEvent.EVAL)
+        logger.log({"timestep": t, **timer.metrics()}, t, eval_step, LogEvent.MISC)
         episode_return = jnp.mean(eval_metrics["episode_return"])
 
         if save_checkpoint:
@@ -607,6 +611,12 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
 
 def main() -> float:
     import sys
+
+    # Multi-process bootstrap (no-op off a pod slice) — must precede any
+    # backend-touching jax call (SURVEY.md §2.7 multi-host row).
+    from mava_tpu.parallel import initialize
+
+    initialize()
 
     cfg = load_config("default_rec_ippo", sys.argv[1:])
     performance = run_experiment(cfg)

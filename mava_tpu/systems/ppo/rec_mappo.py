@@ -17,6 +17,12 @@ def run_experiment(config: Config) -> float:
 def main() -> float:
     import sys
 
+    # Multi-process bootstrap (no-op off a pod slice) — must precede any
+    # backend-touching jax call (SURVEY.md §2.7 multi-host row).
+    from mava_tpu.parallel import initialize
+
+    initialize()
+
     cfg = load_config("default_rec_mappo", sys.argv[1:])
     performance = run_experiment(cfg)
     print("Recurrent MAPPO experiment completed.")

@@ -32,8 +32,10 @@ from mava_tpu.parallel import (
     build_learner,
     make_mesh,
     num_learner_devices,
-    replicate_sharding,
-    shard_leading_axis,
+    put_replicated,
+    put_sharded_rows,
+    sharded_env_reset,
+    tile_for_shards,
 )
 from mava_tpu.replay import make_trajectory_buffer
 from mava_tpu.systems.q_learning.types import (
@@ -48,6 +50,7 @@ from mava_tpu.utils.checkpointing import Checkpointer
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.jax_utils import select_along_last, switch_leading_axes
 from mava_tpu.utils.logger import LogEvent, MavaLogger
+from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
@@ -308,11 +311,15 @@ def init(cfg: Config, mesh) -> Tuple:
     )
     buffer_state = rb.init(init_transition)
 
-    # Global env reset, sharded over the mesh.
+    # Env reset sharded over the mesh's env axis (per-host local resets on a pod
+    # slice — see parallel/distributed.py).
     key, reset_key = jax.random.split(key)
-    reset_keys = jax.random.split(reset_key, n_devices * cfg.arch.num_envs)
-    env_state, first_timestep = jax.vmap(env.reset)(reset_keys)
+    env_state, first_timestep = sharded_env_reset(
+        env, reset_key, n_devices * cfg.arch.num_envs, mesh
+    )
 
+    # Eager ops on the already-sharded timestep: every process executes the same
+    # program, so these are multi-process safe and stay shard-local.
     first_obs = first_timestep.observation
     first_term_or_trunc = first_timestep.last()[..., jnp.newaxis]
     first_term = (1 - first_timestep.discount[..., 0, jnp.newaxis]).astype(bool)
@@ -320,39 +327,26 @@ def init(cfg: Config, mesh) -> Tuple:
     key, step_key = jax.random.split(key)
     step_keys = jax.random.split(step_key, n_devices)
 
-    replicated = replicate_sharding(mesh)
-    sharded = shard_leading_axis(mesh)
-
     # Buffer experience is per-shard (its add-batch rows are this shard's envs);
     # ring counters evolve identically everywhere -> replicated.
-    global_buffer_exp = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_devices, *x.shape)).reshape(
-            n_devices * x.shape[0], *x.shape[1:]
-        ),
-        buffer_state.experience,
-    )
     buffer_state = buffer_state.replace(
-        experience=jax.device_put(global_buffer_exp, sharded),
-        current_index=jax.device_put(buffer_state.current_index, replicated),
-        is_full=jax.device_put(buffer_state.is_full, replicated),
+        experience=tile_for_shards(buffer_state.experience, mesh),
+        current_index=put_replicated(buffer_state.current_index, mesh),
+        is_full=put_replicated(buffer_state.is_full, mesh),
     )
-
-    global_hidden = jnp.broadcast_to(
-        init_hidden_state, (n_devices, *init_hidden_state.shape)
-    ).reshape(n_devices * cfg.arch.num_envs, num_agents, -1)
 
     learner_state = LearnerState(
-        obs=jax.device_put(first_obs, sharded),
-        terminal=jax.device_put(first_term, sharded),
-        term_or_trunc=jax.device_put(first_term_or_trunc, sharded),
-        hidden_state=jax.device_put(global_hidden, sharded),
-        env_state=jax.device_put(env_state, sharded),
-        time_steps=jax.device_put(jnp.int32(0), replicated),
-        train_steps=jax.device_put(jnp.int32(0), replicated),
-        opt_state=jax.device_put(opt_state, replicated),
+        obs=first_obs,
+        terminal=first_term,
+        term_or_trunc=first_term_or_trunc,
+        hidden_state=tile_for_shards(init_hidden_state, mesh),
+        env_state=env_state,
+        time_steps=put_replicated(jnp.int32(0), mesh),
+        train_steps=put_replicated(jnp.int32(0), mesh),
+        opt_state=put_replicated(opt_state, mesh),
         buffer_state=buffer_state,
-        params=jax.device_put(params, replicated),
-        key=jax.device_put(step_keys, sharded),
+        params=put_replicated(params, mesh),
+        key=put_sharded_rows(step_keys, mesh),
     )
     return (env, eval_env), q_net, opt, rb, learner_state, key
 
@@ -440,9 +434,11 @@ def run_experiment(cfg: Config) -> float:
     for eval_idx, t in enumerate(
         range(steps_per_rollout, int(cfg.system.total_timesteps + 1), steps_per_rollout)
     ):
+        timer = PhaseTimer()
         start_time = time.time()
-        learner_state, (metrics, losses) = update(learner_state)
-        jax.block_until_ready(learner_state)
+        with maybe_trace(cfg, eval_idx), timer.phase("learn"):
+            learner_state, (metrics, losses) = update(learner_state)
+            jax.block_until_ready(learner_state)
 
         elapsed_time = time.time() - start_time
         eps = jnp.maximum(
@@ -452,15 +448,21 @@ def run_experiment(cfg: Config) -> float:
         final_metrics, ep_completed = get_final_step_metrics(metrics)
         final_metrics["steps_per_second"] = steps_per_rollout / elapsed_time
 
-        logger.log({"timestep": t, "epsilon": eps}, t, eval_idx, LogEvent.MISC)
         if ep_completed:
             logger.log(final_metrics, t, eval_idx, LogEvent.ACT)
         logger.log(losses, t, eval_idx, LogEvent.TRAIN)
 
         key, eval_key = jax.random.split(key)
         eval_params = learner_state.params.online
-        eval_metrics = evaluator(eval_params, eval_key, {"hidden_state": eval_hs})
+        with timer.phase("eval"):
+            eval_metrics = evaluator(eval_params, eval_key, {"hidden_state": eval_hs})
         logger.log(eval_metrics, t, eval_idx, LogEvent.EVAL)
+        logger.log(
+            {"timestep": t, "epsilon": eps, **timer.metrics()},
+            t,
+            eval_idx,
+            LogEvent.MISC,
+        )
         episode_return = jnp.mean(eval_metrics["episode_return"])
 
         if cfg.arch.absolute_metric and max_episode_return <= episode_return:
@@ -498,6 +500,12 @@ def run_experiment(cfg: Config) -> float:
 
 def main() -> float:
     import sys
+
+    # Multi-process bootstrap (no-op off a pod slice) — must precede any
+    # backend-touching jax call (SURVEY.md §2.7 multi-host row).
+    from mava_tpu.parallel import initialize
+
+    initialize()
 
     cfg = load_config("default_rec_iql", sys.argv[1:])
     performance = run_experiment(cfg)

@@ -38,8 +38,10 @@ from mava_tpu.parallel import (
     build_learner,
     make_mesh,
     num_learner_devices,
-    replicate_sharding,
-    shard_leading_axis,
+    put_replicated,
+    put_sharded_rows,
+    sharded_env_reset,
+    tile_for_shards,
 )
 from mava_tpu.replay import make_item_buffer
 from mava_tpu.systems.sac.types import (
@@ -57,6 +59,7 @@ from mava_tpu.utils.centralised_training import (
 from mava_tpu.utils.checkpointing import Checkpointer
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
+from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
@@ -143,36 +146,31 @@ def init(cfg: Config, mesh, centralised_critic: bool = False) -> Tuple:
     )
     buffer_state = rb.init(init_transition)
 
+    # Env reset sharded over the mesh's env axis (per-host local resets on a pod
+    # slice — see parallel/distributed.py).
     key, reset_key = jax.random.split(key)
-    reset_keys = jax.random.split(reset_key, n_devices * cfg.arch.num_envs)
-    env_state, first_timestep = jax.vmap(env.reset)(reset_keys)
+    env_state, first_timestep = sharded_env_reset(
+        env, reset_key, n_devices * cfg.arch.num_envs, mesh
+    )
 
     key, step_key = jax.random.split(key)
     step_keys = jax.random.split(step_key, n_devices)
 
-    replicated = replicate_sharding(mesh)
-    sharded = shard_leading_axis(mesh)
-
-    global_buffer_exp = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (n_devices, *x.shape)).reshape(
-            n_devices * x.shape[0], *x.shape[1:]
-        ),
-        buffer_state.experience,
-    )
+    # Buffer experience is per-shard; ring counters evolve identically -> replicated.
     buffer_state = buffer_state.replace(
-        experience=jax.device_put(global_buffer_exp, sharded),
-        current_index=jax.device_put(buffer_state.current_index, replicated),
-        is_full=jax.device_put(buffer_state.is_full, replicated),
+        experience=tile_for_shards(buffer_state.experience, mesh),
+        current_index=put_replicated(buffer_state.current_index, mesh),
+        is_full=put_replicated(buffer_state.is_full, mesh),
     )
 
     learner_state = LearnerState(
-        obs=jax.device_put(first_timestep.observation, sharded),
-        env_state=jax.device_put(env_state, sharded),
+        obs=first_timestep.observation,
+        env_state=env_state,
         buffer_state=buffer_state,
-        params=jax.device_put(params, replicated),
-        opt_states=jax.device_put(opt_states, replicated),
-        t=jax.device_put(jnp.int32(0), replicated),
-        key=jax.device_put(step_keys, sharded),
+        params=put_replicated(params, mesh),
+        opt_states=put_replicated(opt_states, mesh),
+        t=put_replicated(jnp.int32(0), mesh),
+        key=put_sharded_rows(step_keys, mesh),
     )
 
     networks = (actor_network, q_network)
@@ -499,9 +497,11 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
     start = t
     stop = int(cfg.system.total_timesteps + 1)
     for eval_idx, t in enumerate(range(start, stop, steps_per_rollout)):
+        timer = PhaseTimer()
         start_time = time.time()
-        learner_state, (metrics, losses) = update(learner_state)
-        jax.block_until_ready(learner_state)
+        with maybe_trace(cfg, eval_idx), timer.phase("learn"):
+            learner_state, (metrics, losses) = update(learner_state)
+            jax.block_until_ready(learner_state)
         t += steps_per_rollout
 
         elapsed_time = time.time() - start_time
@@ -509,14 +509,15 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
         final_metrics["steps_per_second"] = steps_per_rollout / elapsed_time
         loss_metrics = {**losses, "log_alpha": learner_state.params.log_alpha}
 
-        logger.log({"timestep": t}, t, eval_idx, LogEvent.MISC)
         if ep_completed:
             logger.log(final_metrics, t, eval_idx, LogEvent.ACT)
         logger.log(loss_metrics, t, eval_idx, LogEvent.TRAIN)
 
         key, eval_key = jax.random.split(key)
-        eval_metrics = evaluator(learner_state.params.actor, eval_key, {})
+        with timer.phase("eval"):
+            eval_metrics = evaluator(learner_state.params.actor, eval_key, {})
         logger.log(eval_metrics, t, eval_idx, LogEvent.EVAL)
+        logger.log({"timestep": t, **timer.metrics()}, t, eval_idx, LogEvent.MISC)
         episode_return = jnp.mean(eval_metrics["episode_return"])
 
         if cfg.arch.absolute_metric and max_episode_return <= episode_return:
@@ -548,6 +549,12 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
 
 def main() -> float:
     import sys
+
+    # Multi-process bootstrap (no-op off a pod slice) — must precede any
+    # backend-touching jax call (SURVEY.md §2.7 multi-host row).
+    from mava_tpu.parallel import initialize
+
+    initialize()
 
     cfg = load_config("default_ff_isac", sys.argv[1:])
     performance = run_experiment(cfg)

@@ -14,6 +14,12 @@ def run_experiment(config: Config) -> float:
 def main() -> float:
     import sys
 
+    # Multi-process bootstrap (no-op off a pod slice) — must precede any
+    # backend-touching jax call (SURVEY.md §2.7 multi-host row).
+    from mava_tpu.parallel import initialize
+
+    initialize()
+
     cfg = load_config("default_ff_masac", sys.argv[1:])
     performance = run_experiment(cfg)
     print("MASAC experiment completed.")
