@@ -114,6 +114,28 @@ def test_ff_mappo_lbf(fast_config_overrides):
     assert isinstance(perf, float)
 
 
+def test_ff_ippo_cleaner_cnn(fast_config_overrides):
+    """CNN torso composed through a full system run (reference matrix pairs grid
+    envs with network=cnn, `test/integration_test.py:111-124`)."""
+    perf = _run(
+        "ppo.ff_ippo",
+        "default_ff_ippo",
+        fast_config_overrides + ["env=cleaner", "network=cnn"],
+    )
+    assert isinstance(perf, float)
+
+
+def test_rec_mappo_connector_rcnn(fast_config_overrides):
+    """Recurrent CNN (rcnn) torso through a recurrent CTDE system on a grid env."""
+    perf = _run(
+        "ppo.rec_mappo",
+        "default_rec_mappo",
+        fast_config_overrides
+        + ["env=connector", "network=rcnn", "system.recurrent_chunk_size=2"],
+    )
+    assert isinstance(perf, float)
+
+
 def test_store_experience(fast_config_overrides, tmp_path, monkeypatch):
     import os
 
