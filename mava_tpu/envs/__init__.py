@@ -110,6 +110,14 @@ def _make_maswarm(config) -> Tuple[Any, Any]:
     return MaSwarm(**kwargs), MaSwarm(**kwargs)
 
 
+@register("MaReacher")
+def _make_mareacher(config) -> Tuple[Any, Any]:
+    from mava_tpu.envs.mareacher import MaReacher
+
+    kwargs = _env_kwargs(config)
+    return MaReacher(**kwargs), MaReacher(**kwargs)
+
+
 @register("Gigastep")
 def _make_gigastep(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.gigastep import Gigastep

@@ -20,7 +20,7 @@ _SCENARIO_ENV = {
     "10m": "smax", "27m": "smax", "smacv2": "smax",
     "clean": "cleaner", "con-": "connector",
     "hide": "gigastep", "waypoint": "gigastep",
-    "matrax": "matrax", "spread": "maswarm",
+    "matrax": "matrax", "spread": "maswarm", "reacher": "mareacher",
 }
 
 

@@ -114,6 +114,26 @@ def test_ff_mappo_lbf(fast_config_overrides):
     assert isinstance(perf, float)
 
 
+def test_ff_masac_mareacher(fast_config_overrides):
+    """MASAC on the articulated-arm env (joint-factorized continuous control)."""
+    perf = _run(
+        "sac.ff_masac",
+        "default_ff_masac",
+        fast_config_overrides
+        + [
+            "env=mareacher",
+            "env.kwargs.time_limit=16",
+            "system.num_updates=16",
+            "system.rollout_length=2",
+            "system.buffer_size=128",
+            "system.explore_steps=8",
+            "system.batch_size=4",
+            "system.epochs=2",
+        ],
+    )
+    assert isinstance(perf, float)
+
+
 def test_ff_ippo_cleaner_cnn(fast_config_overrides):
     """CNN torso composed through a full system run (reference matrix pairs grid
     envs with network=cnn, `test/integration_test.py:111-124`)."""
