@@ -52,7 +52,11 @@ from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.jax_utils import merge_leading_dims, pack_pytree_rows
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.timestep_checker import check_total_timesteps
-from mava_tpu.utils.training import make_learning_rate, make_optimizer
+from mava_tpu.utils.training import (
+    entropy_coefficient,
+    make_learning_rate,
+    make_optimizer,
+)
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
 
@@ -162,6 +166,7 @@ def get_learner_fn(
             def _update_minibatch(train_state: Tuple, minibatch_rows) -> Tuple:
                 params, opt_states, key = train_state
                 traj_batch, advantages, targets = unpack_rows(minibatch_rows)
+                ent_coef = entropy_coefficient(config, opt_states.actor_opt_state)
 
                 def _actor_loss_fn(actor_params, traj_batch, gae, entropy_key):
                     actor_policy = actor_apply_fn(actor_params, traj_batch.obs)
@@ -170,7 +175,7 @@ def get_learner_fn(
                         log_prob, traj_batch.log_prob, gae, config.system.clip_eps
                     )
                     entropy = actor_policy.entropy(seed=entropy_key).mean()
-                    total = loss_actor - config.system.ent_coef * entropy
+                    total = loss_actor - ent_coef * entropy
                     return total, (loss_actor, entropy)
 
                 def _critic_loss_fn(critic_params, traj_batch, targets):

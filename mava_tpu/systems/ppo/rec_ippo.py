@@ -60,7 +60,11 @@ from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
 from mava_tpu.utils.timestep_checker import check_total_timesteps
-from mava_tpu.utils.training import make_learning_rate, make_optimizer
+from mava_tpu.utils.training import (
+    entropy_coefficient,
+    make_learning_rate,
+    make_optimizer,
+)
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
 
@@ -227,6 +231,8 @@ def get_learner_fn(
                     lambda x: jnp.swapaxes(x, 0, 1), minibatch
                 )
 
+                ent_coef = entropy_coefficient(config, opt_states.actor_opt_state)
+
                 def _actor_loss_fn(actor_params, traj_batch, gae, entropy_key):
                     obs_and_done = (traj_batch.obs, traj_batch.done)
                     # Re-run the RNN from the chunk-initial hidden state.
@@ -240,7 +246,7 @@ def get_learner_fn(
                         log_prob, traj_batch.log_prob, gae, config.system.clip_eps
                     )
                     entropy = actor_policy.entropy(seed=entropy_key).mean()
-                    total = loss_actor - config.system.ent_coef * entropy
+                    total = loss_actor - ent_coef * entropy
                     return total, (loss_actor, entropy)
 
                 def _critic_loss_fn(critic_params, traj_batch, targets):

@@ -59,3 +59,39 @@ def test_value_loss_takes_max_of_clipped_and_unclipped():
     got = clipped_value_loss(value, old_value, targets, clip_eps=0.2)
     # unclipped: (2-0)^2 = 4; clipped value = 0.2 -> (0.2)^2 = 0.04; max = 4
     np.testing.assert_allclose(got, 0.5 * 4.0, rtol=1e-6)
+
+
+def test_entropy_coefficient_schedule():
+    """ent_coef_final anneals linearly on the Adam step count; default is constant."""
+    import optax
+    from types import SimpleNamespace
+
+    from mava_tpu.utils.config import Config
+    from mava_tpu.utils.training import entropy_coefficient, make_optimizer
+
+    system = Config(
+        {
+            "ent_coef": 0.05,
+            "ent_coef_final": 0.0,
+            "ppo_epochs": 2,
+            "num_minibatches": 2,
+            "num_updates": 5,  # -> 20 total minibatch updates
+        }
+    )
+    cfg = SimpleNamespace(system=system)
+
+    opt = make_optimizer(1e-3, max_grad_norm=0.5)
+    params = {"w": jnp.zeros(3)}
+    state = opt.init(params)
+
+    np.testing.assert_allclose(entropy_coefficient(cfg, state), 0.05)
+    for _ in range(10):  # half the run
+        _, state = opt.update({"w": jnp.ones(3)}, state, params)
+    np.testing.assert_allclose(entropy_coefficient(cfg, state), 0.025, rtol=1e-6)
+    for _ in range(20):  # past the end: clamps at final
+        _, state = opt.update({"w": jnp.ones(3)}, state, params)
+    np.testing.assert_allclose(entropy_coefficient(cfg, state), 0.0, atol=1e-9)
+
+    # Default (ent_coef_final unset) stays the plain constant.
+    system_const = Config({"ent_coef": 0.01, "ppo_epochs": 2, "num_minibatches": 2, "num_updates": 5})
+    assert entropy_coefficient(SimpleNamespace(system=system_const), state) == 0.01
