@@ -55,6 +55,23 @@ from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
 
+def epsilon_schedule(cfg: Config, t):
+    """Exploration epsilon at GLOBAL env-step count `t`: linear 1 -> eps_min over
+    the first `eps_decay` global steps, flat after.
+
+    `t` is advanced by `num_envs * n_devices` per act step (shards act in
+    lockstep), so the schedule is positioned in the same global-timestep units
+    that `eps_decay` is configured and logged in. The single-process reference
+    counts per-shard steps (`rec_iql.py:277`), which on a mesh would decay
+    epsilon n_devices times slower; `tests/test_systems_integration.py`
+    pins this schedule shape and the global counting.
+    """
+    return jnp.maximum(
+        cfg.system.eps_min,
+        1 - (t / cfg.system.eps_decay) * (1 - cfg.system.eps_min),
+    )
+
+
 def make_update_fn(
     cfg: Config, env: Any, q_net: RecQNetwork, opt: optax.GradientTransformation, rb
 ) -> Callable:
@@ -65,10 +82,7 @@ def make_update_fn(
         action_selection_state: ActionSelectionState, obs, term_or_trunc
     ):
         params, hidden_state, t, key = action_selection_state
-        eps = jnp.maximum(
-            cfg.system.eps_min,
-            1 - (t / cfg.system.eps_decay) * (1 - cfg.system.eps_min),
-        )
+        eps = epsilon_schedule(cfg, t)
         obs = jax.tree.map(lambda x: x[jnp.newaxis, ...], obs)
         term_or_trunc = jax.tree.map(lambda x: x[jnp.newaxis, ...], term_or_trunc)
         next_hidden_state, eps_greedy_dist = q_net.apply(

@@ -185,3 +185,53 @@ def test_ff_ippo_continuous_maswarm(fast_config_overrides):
         + ["env=maswarm", "network=continuous_mlp", "env.kwargs.time_limit=16"],
     )
     assert isinstance(perf, float)
+
+
+def test_rec_iql_epsilon_schedule_and_global_step_counting():
+    """Pins the eps-decay deviation from the reference (rec_iql.py:277 counts
+    per-shard steps): the schedule is linear 1 -> eps_min over eps_decay GLOBAL
+    env steps, and one fused call advances the counter by
+    scan_steps * rollout_length * num_envs * n_devices."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mava_tpu.parallel import make_mesh, num_learner_devices
+    from mava_tpu.systems.q_learning import rec_iql
+    from mava_tpu.utils.config import Config, load_config
+
+    # Schedule shape (pure function of the global step count).
+    cfg_s = SimpleNamespace(system=Config({"eps_min": 0.05, "eps_decay": 1000}))
+    sched = rec_iql.epsilon_schedule
+    np.testing.assert_allclose(float(sched(cfg_s, 0)), 1.0)
+    np.testing.assert_allclose(float(sched(cfg_s, 500)), 1 - 0.5 * 0.95, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(cfg_s, 1000)), 0.05, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(cfg_s, 10_000)), 0.05, rtol=1e-6)  # clamped
+
+    # Global step counting through the real fused update on the 8-device mesh.
+    cfg = load_config(
+        "default_rec_iql",
+        [
+            "env.kwargs.time_limit=16",
+            "arch.num_envs=2",
+            "system.rollout_length=2",
+            "system.buffer_size=64",
+            "system.min_buffer_size=4",
+            "system.sample_batch_size=4",
+            "system.sample_sequence_length=4",
+            "system.epochs=1",
+            "logger.use_console=False",
+        ],
+    )
+    mesh = make_mesh()
+    n_devices = num_learner_devices(mesh)
+    cfg.arch.n_devices = n_devices
+    cfg.system.scan_steps = 3
+    (env, _), q_net, opt, rb, state, _ = rec_iql.init(cfg, mesh)
+    update = rec_iql.build_learn_fn(cfg, env, q_net, opt, rb, mesh, state.buffer_state)
+
+    state2, _ = update(state)
+    expected = 3 * cfg.system.rollout_length * cfg.arch.num_envs * n_devices
+    got = int(np.ravel(np.asarray(jnp.asarray(state2.time_steps)))[0])
+    assert got == expected, (got, expected)
