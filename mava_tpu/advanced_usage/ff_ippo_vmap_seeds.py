@@ -1,0 +1,246 @@
+"""ff-IPPO with VMAPPED SEEDS: train N independent seeds in ONE compiled program.
+
+The MFU measurements (docs/tpu_performance.md §7) show the fused MARL step is
+latency-bound on the rollout scan's serial dependency chain — the chip's batch
+dimensions are nearly idle. That makes independent-seed replication almost free:
+`vmap` the per-shard learner over a leading seed axis and the seeds ride the same
+serial chain, turning "run 3 seeds for the paper table" from 3 sequential runs
+into ~1.2 runs of wall-clock (measured: see BASELINE.md vmap-seeds row).
+
+This is a TPU-first capability the reference does not have (its closest pattern is
+the `update_batch_size` vmap-DP axis, `mava/systems/ppo/ff_ippo.py:239-253`, which
+replicates ONE seed for devices — here we batch DIFFERENT seeds for science).
+Everything reuses the stock ff-IPPO learner (`get_learner_fn`) — the only changes
+are a leading seed axis on the learner state and `jax.vmap` inside `shard_map`
+(collectives over the mesh axis are per-seed automatically under vmap).
+
+Usage:
+    python -m mava_tpu.advanced_usage.ff_ippo_vmap_seeds \
+        env=rware env/scenario=tiny-2ag arch.num_envs=128 +system.num_seeds=4
+
+Per-seed env batches are real: `arch.num_envs` envs per seed per device. The
+evaluator runs per seed (cheap, outside the hot loop); final output prints a
+per-seed table and returns the mean eval performance across seeds.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from mava_tpu import envs as environments
+from mava_tpu.envs.wrappers import get_final_step_metrics
+from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
+from mava_tpu.networks import FeedForwardActor as Actor
+from mava_tpu.networks import FeedForwardValueNet as Critic
+from mava_tpu.networks.factory import make_action_head, make_torso
+from mava_tpu.parallel import (
+    DATA_AXIS,
+    build_learner,
+    make_mesh,
+    num_learner_devices,
+)
+from mava_tpu.systems.ppo.ff_ippo import get_learner_fn
+from mava_tpu.systems.ppo.types import LearnerState, OptStates, Params
+from mava_tpu.types import ExperimentOutput, MarlEnv
+from mava_tpu.utils.config import Config, load_config
+from mava_tpu.utils.logger import LogEvent, MavaLogger
+from mava_tpu.utils.timestep_checker import check_total_timesteps
+from mava_tpu.utils.training import make_learning_rate, make_optimizer
+
+
+def _put(tree: Any, mesh, spec: P) -> Any:
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def learner_setup(
+    env: MarlEnv, key, config: Config, mesh, num_seeds: int
+) -> Tuple[Any, Any, LearnerState]:
+    """Stock ff-IPPO learner with a leading seed axis on the whole learner state."""
+    n_devices = num_learner_devices(mesh)
+    config.system.num_agents = env.num_agents
+
+    actor_torso = make_torso(config.network.actor_network.pre_torso)
+    action_head = make_action_head(config.network.action_head, env.action_dim)
+    critic_torso = make_torso(config.network.critic_network.pre_torso)
+    actor_network = Actor(torso=actor_torso, action_head=action_head)
+    critic_network = Critic(torso=critic_torso)
+
+    actor_optim = make_optimizer(
+        make_learning_rate(config.system.actor_lr, config), config.system.max_grad_norm
+    )
+    critic_optim = make_optimizer(
+        make_learning_rate(config.system.critic_lr, config), config.system.max_grad_norm
+    )
+
+    obs = env.observation_spec().generate_value()
+    init_x = jax.tree.map(lambda x: x[jnp.newaxis, ...], obs)
+
+    # Independent params per seed: vmap the initialisers over per-seed keys.
+    key, actor_key, critic_key = jax.random.split(key, 3)
+    actor_params = jax.vmap(actor_network.init, in_axes=(0, None))(
+        jax.random.split(actor_key, num_seeds), init_x
+    )
+    critic_params = jax.vmap(critic_network.init, in_axes=(0, None))(
+        jax.random.split(critic_key, num_seeds), init_x
+    )
+    params = Params(actor_params, critic_params)
+    opt_states = OptStates(
+        jax.vmap(actor_optim.init)(actor_params),
+        jax.vmap(critic_optim.init)(critic_params),
+    )
+
+    apply_fns = (actor_network.apply, critic_network.apply)
+    update_fns = (actor_optim.update, critic_optim.update)
+
+    # vmap INSIDE shard_map: each shard runs all seeds over its env slice; the
+    # gradient pmean over the mesh axis applies per seed under the vmap.
+    learner = jax.vmap(get_learner_fn(env, apply_fns, update_fns, config))
+
+    state_specs = LearnerState(
+        params=P(),  # (S, ...) replicated across devices
+        opt_states=P(),
+        key=P(None, DATA_AXIS),  # (S, n_devices, 2)
+        env_state=P(None, DATA_AXIS),  # (S, n_devices*num_envs, ...)
+        timestep=P(None, DATA_AXIS),
+    )
+    out_specs = ExperimentOutput(
+        learner_state=state_specs,
+        episode_metrics=P(None, None, None, DATA_AXIS),  # (S, U, T, E)
+        train_metrics=P(),
+    )
+    learn = build_learner(
+        learner,
+        mesh,
+        in_specs=(state_specs,),
+        out_specs=out_specs,
+        donate=config.arch.get("donate_buffers", False),
+    )
+
+    # (S, total_envs) independent env instances, sharded on the env axis.
+    key, env_key = jax.random.split(key)
+    total_envs = n_devices * config.arch.num_envs
+    reset_keys = jax.random.split(env_key, num_seeds * total_envs)
+    env_states, timesteps = jax.vmap(env.reset)(reset_keys)
+    env_states, timesteps = jax.tree.map(
+        lambda x: x.reshape((num_seeds, total_envs) + x.shape[1:]),
+        (env_states, timesteps),
+    )
+    env_states = _put(env_states, mesh, P(None, DATA_AXIS))
+    timesteps = _put(timesteps, mesh, P(None, DATA_AXIS))
+
+    key, step_key = jax.random.split(key)
+    step_keys = jax.random.split(step_key, num_seeds * n_devices).reshape(
+        num_seeds, n_devices, -1
+    )
+
+    params = _put(params, mesh, P())
+    opt_states = _put(opt_states, mesh, P())
+    step_keys = _put(step_keys, mesh, P(None, DATA_AXIS))
+
+    init_state = LearnerState(params, opt_states, step_keys, env_states, timesteps)
+    return learn, actor_network, init_state
+
+
+def run_experiment(_config: Config) -> float:
+    config = copy.deepcopy(_config)
+
+    mesh = make_mesh()
+    n_devices = num_learner_devices(mesh)
+    config.arch.n_devices = n_devices
+    num_seeds = int(config.system.get("num_seeds", 4))
+
+    env, eval_env = environments.make(config)
+    key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
+
+    learn, actor_network, learner_state = learner_setup(
+        env, key, config, mesh, num_seeds
+    )
+
+    eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
+    evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
+
+    config = check_total_timesteps(config)
+    config.system.num_updates_per_eval = (
+        config.system.num_updates // config.arch.num_evaluation
+    )
+    steps_per_rollout = (
+        n_devices
+        * config.system.num_updates_per_eval
+        * config.system.rollout_length
+        * config.arch.num_envs
+    )
+
+    logger = MavaLogger(config)
+    seed_returns = jnp.zeros(num_seeds)
+
+    for eval_step in range(config.arch.num_evaluation):
+        start_time = time.time()
+        learner_output = learn(learner_state)
+        jax.block_until_ready(learner_output)
+        elapsed = time.time() - start_time
+
+        # Per-seed env steps all count: S seeds x steps_per_rollout each.
+        t = int(steps_per_rollout * (eval_step + 1))
+        episode_metrics, ep_completed = get_final_step_metrics(
+            learner_output.episode_metrics
+        )
+        episode_metrics["steps_per_second"] = (
+            num_seeds * steps_per_rollout / elapsed
+        )
+        if ep_completed:
+            logger.log(episode_metrics, t, eval_step, LogEvent.ACT)
+        logger.log(learner_output.train_metrics, t, eval_step, LogEvent.TRAIN)
+
+        # Evaluate each seed with the stock evaluator (params are tiny; the
+        # per-seed indexing is a host-side gather outside the hot loop).
+        per_seed = []
+        for s in range(num_seeds):
+            key_e, eval_key = jax.random.split(key_e)
+            params_s = jax.tree.map(
+                lambda x: x[s], learner_output.learner_state.params.actor_params
+            )
+            eval_metrics = evaluator(params_s, eval_key, {})
+            per_seed.append(float(jnp.mean(eval_metrics["episode_return"])))
+        seed_returns = jnp.array(per_seed)
+        logger.log(
+            {
+                "episode_return": seed_returns,
+                "seed_return_best": float(seed_returns.max()),
+                "seed_return_worst": float(seed_returns.min()),
+            },
+            t,
+            eval_step,
+            LogEvent.EVAL,
+        )
+        learner_state = learner_output.learner_state
+
+    print(
+        "vmap-seeds final eval returns per seed: "
+        + ", ".join(f"{r:.2f}" for r in per_seed)
+    )
+    logger.stop()
+    return float(seed_returns.mean())
+
+
+def main() -> float:
+    import sys
+
+    from mava_tpu.parallel import initialize
+
+    initialize()
+    cfg = load_config("default_ff_ippo", sys.argv[1:])
+    performance = run_experiment(cfg)
+    print("ff-IPPO vmap-seeds experiment completed.")
+    return performance
+
+
+if __name__ == "__main__":
+    main()

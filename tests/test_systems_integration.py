@@ -235,3 +235,16 @@ def test_rec_iql_epsilon_schedule_and_global_step_counting():
     expected = 3 * cfg.system.rollout_length * cfg.arch.num_envs * n_devices
     got = int(np.ravel(np.asarray(jnp.asarray(state2.time_steps)))[0])
     assert got == expected, (got, expected)
+
+
+def test_ff_ippo_vmap_seeds(fast_config_overrides):
+    """N independent seeds trained in ONE compiled program (vmap inside shard_map);
+    per-seed grad pmean over the mesh axis rides the vmap automatically."""
+    from mava_tpu.advanced_usage.ff_ippo_vmap_seeds import run_experiment
+
+    cfg = load_config(
+        "default_ff_ippo",
+        fast_config_overrides + ["env.kwargs.time_limit=16", "+system.num_seeds=3"],
+    )
+    perf = run_experiment(cfg)
+    assert isinstance(perf, float)
