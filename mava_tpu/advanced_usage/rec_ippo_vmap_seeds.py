@@ -1,0 +1,277 @@
+"""rec-IPPO with VMAPPED SEEDS — the SMAX seed-sweep case.
+
+Same construction as `ff_ippo_vmap_seeds.py` (see its module docstring for the
+latency-bound rationale): `jax.vmap` the stock per-shard recurrent learner
+(`rec_ippo.get_learner_fn`) over a leading seed axis inside `shard_map`; the seed
+axis additionally rides the GRU hidden states and last-step dones. Win-rate
+tables over N seeds (the JaxMARL/reference benchmark protocol) train in ONE
+compiled program instead of N sequential runs.
+
+Usage:
+    python -m mava_tpu.advanced_usage.rec_ippo_vmap_seeds \
+        env=smax env/scenario=3s5z arch.num_envs=64 +system.num_seeds=3
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from mava_tpu import envs as environments
+from mava_tpu.envs.wrappers import get_final_step_metrics
+from mava_tpu.evaluator import get_eval_fn, get_num_eval_envs, make_rec_eval_act_fn
+from mava_tpu.networks import RecurrentActor as Actor
+from mava_tpu.networks import RecurrentValueNet as Critic
+from mava_tpu.networks import ScannedRNN
+from mava_tpu.networks.factory import make_action_head, make_torso
+from mava_tpu.parallel import (
+    DATA_AXIS,
+    build_learner,
+    make_mesh,
+    num_learner_devices,
+)
+from mava_tpu.systems.ppo.rec_ippo import get_learner_fn
+from mava_tpu.systems.ppo.types import (
+    HiddenStates,
+    OptStates,
+    Params,
+    RNNLearnerState,
+)
+from mava_tpu.types import ExperimentOutput, MarlEnv
+from mava_tpu.utils.config import Config, load_config
+from mava_tpu.utils.logger import LogEvent, MavaLogger
+from mava_tpu.utils.timestep_checker import check_total_timesteps
+from mava_tpu.utils.training import make_learning_rate, make_optimizer
+
+
+def _put(tree: Any, mesh, spec: P) -> Any:
+    sharding = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def learner_setup(
+    env: MarlEnv, key, config: Config, mesh, num_seeds: int
+) -> Tuple[Any, Any, RNNLearnerState]:
+    n_devices = num_learner_devices(mesh)
+    num_agents = env.num_agents
+    config.system.num_agents = num_agents
+
+    actor_network = Actor(
+        pre_torso=make_torso(config.network.actor_network.pre_torso),
+        post_torso=make_torso(config.network.actor_network.post_torso),
+        action_head=make_action_head(config.network.action_head, env.action_dim),
+        hidden_state_dim=config.network.hidden_state_dim,
+    )
+    critic_kwargs = dict(
+        pre_torso=make_torso(config.network.critic_network.pre_torso),
+        post_torso=make_torso(config.network.critic_network.post_torso),
+        hidden_state_dim=config.network.hidden_state_dim,
+    )
+    critic_network = Critic(**critic_kwargs)
+    critic_carry_network = Critic(**critic_kwargs, collect_carries=True)
+
+    actor_optim = make_optimizer(
+        make_learning_rate(config.system.actor_lr, config), config.system.max_grad_norm
+    )
+    critic_optim = make_optimizer(
+        make_learning_rate(config.system.critic_lr, config), config.system.max_grad_norm
+    )
+
+    init_obs = env.observation_spec().generate_value()
+    init_obs = jax.tree.map(
+        lambda x: jnp.repeat(x[jnp.newaxis, ...], config.arch.num_envs, axis=0),
+        init_obs,
+    )
+    init_obs = jax.tree.map(lambda x: x[jnp.newaxis, ...], init_obs)
+    init_done = jnp.zeros((1, config.arch.num_envs, num_agents), dtype=bool)
+    init_x = (init_obs, init_done)
+    init_hstate = ScannedRNN.initialize_carry(
+        (config.arch.num_envs, num_agents), config.network.hidden_state_dim
+    )
+
+    key, actor_key, critic_key = jax.random.split(key, 3)
+    actor_params = jax.vmap(actor_network.init, in_axes=(0, None, None))(
+        jax.random.split(actor_key, num_seeds), init_hstate, init_x
+    )
+    critic_params = jax.vmap(critic_network.init, in_axes=(0, None, None))(
+        jax.random.split(critic_key, num_seeds), init_hstate, init_x
+    )
+    params = Params(actor_params, critic_params)
+    opt_states = OptStates(
+        jax.vmap(actor_optim.init)(actor_params),
+        jax.vmap(critic_optim.init)(critic_params),
+    )
+
+    apply_fns = (
+        actor_network.apply, critic_network.apply, critic_carry_network.apply
+    )
+    update_fns = (actor_optim.update, critic_optim.update)
+
+    learner = jax.vmap(get_learner_fn(env, apply_fns, update_fns, config))
+
+    state_specs = RNNLearnerState(
+        params=P(),
+        opt_states=P(),
+        key=P(None, DATA_AXIS),
+        env_state=P(None, DATA_AXIS),
+        timestep=P(None, DATA_AXIS),
+        dones=P(None, DATA_AXIS),
+        hstates=P(None, DATA_AXIS),
+    )
+    out_specs = ExperimentOutput(
+        learner_state=state_specs,
+        episode_metrics=P(None, None, None, DATA_AXIS),
+        train_metrics=P(),
+    )
+    learn = build_learner(
+        learner,
+        mesh,
+        in_specs=(state_specs,),
+        out_specs=out_specs,
+        donate=config.arch.get("donate_buffers", False),
+    )
+
+    key, env_key = jax.random.split(key)
+    total_envs = n_devices * config.arch.num_envs
+    reset_keys = jax.random.split(env_key, num_seeds * total_envs)
+    env_states, timesteps = jax.vmap(env.reset)(reset_keys)
+    env_states, timesteps = jax.tree.map(
+        lambda x: x.reshape((num_seeds, total_envs) + x.shape[1:]),
+        (env_states, timesteps),
+    )
+    env_states = _put(env_states, mesh, P(None, DATA_AXIS))
+    timesteps = _put(timesteps, mesh, P(None, DATA_AXIS))
+
+    dones = jnp.zeros((num_seeds, total_envs, num_agents), dtype=bool)
+    hstates = HiddenStates(
+        jnp.zeros(
+            (num_seeds, total_envs, num_agents, config.network.hidden_state_dim)
+        ),
+        jnp.zeros(
+            (num_seeds, total_envs, num_agents, config.network.hidden_state_dim)
+        ),
+    )
+
+    key, step_key = jax.random.split(key)
+    step_keys = jax.random.split(step_key, num_seeds * n_devices).reshape(
+        num_seeds, n_devices, -1
+    )
+
+    init_state = RNNLearnerState(
+        params=_put(params, mesh, P()),
+        opt_states=_put(opt_states, mesh, P()),
+        key=_put(step_keys, mesh, P(None, DATA_AXIS)),
+        env_state=env_states,
+        timestep=timesteps,
+        dones=_put(dones, mesh, P(None, DATA_AXIS)),
+        hstates=_put(hstates, mesh, P(None, DATA_AXIS)),
+    )
+    return learn, actor_network, init_state
+
+
+def run_experiment(_config: Config) -> float:
+    config = copy.deepcopy(_config)
+
+    mesh = make_mesh()
+    n_devices = num_learner_devices(mesh)
+    config.arch.n_devices = n_devices
+    num_seeds = int(config.system.get("num_seeds", 4))
+
+    if config.system.get("recurrent_chunk_size") is None:
+        config.system.recurrent_chunk_size = config.system.rollout_length
+
+    env, eval_env = environments.make(config)
+    key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
+
+    learn, actor_network, learner_state = learner_setup(
+        env, key, config, mesh, num_seeds
+    )
+
+    eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)
+    evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
+
+    config = check_total_timesteps(config)
+    config.system.num_updates_per_eval = (
+        config.system.num_updates // config.arch.num_evaluation
+    )
+    steps_per_rollout = (
+        n_devices
+        * config.system.num_updates_per_eval
+        * config.system.rollout_length
+        * config.arch.num_envs
+    )
+
+    logger = MavaLogger(config)
+
+    eval_batch_size = get_num_eval_envs(config, absolute_metric=False)
+    eval_hs = ScannedRNN.initialize_carry(
+        (eval_batch_size, config.system.num_agents),
+        config.network.hidden_state_dim,
+    )
+
+    per_seed = [0.0] * num_seeds
+    for eval_step in range(config.arch.num_evaluation):
+        start_time = time.time()
+        learner_output = learn(learner_state)
+        jax.block_until_ready(learner_output)
+        elapsed = time.time() - start_time
+
+        t = int(steps_per_rollout * (eval_step + 1))
+        episode_metrics, ep_completed = get_final_step_metrics(
+            learner_output.episode_metrics
+        )
+        episode_metrics["steps_per_second"] = num_seeds * steps_per_rollout / elapsed
+        if ep_completed:
+            logger.log(episode_metrics, t, eval_step, LogEvent.ACT)
+        logger.log(learner_output.train_metrics, t, eval_step, LogEvent.TRAIN)
+
+        for s in range(num_seeds):
+            key_e, eval_key = jax.random.split(key_e)
+            params_s = jax.tree.map(
+                lambda x: x[s], learner_output.learner_state.params.actor_params
+            )
+            eval_metrics = evaluator(
+                params_s, eval_key, {"hidden_state": eval_hs}
+            )
+            per_seed[s] = float(jnp.mean(eval_metrics["episode_return"]))
+        seed_returns = jnp.array(per_seed)
+        logger.log(
+            {
+                "episode_return": seed_returns,
+                "seed_return_best": float(seed_returns.max()),
+                "seed_return_worst": float(seed_returns.min()),
+            },
+            t,
+            eval_step,
+            LogEvent.EVAL,
+        )
+        learner_state = learner_output.learner_state
+
+    print(
+        "rec vmap-seeds final eval returns per seed: "
+        + ", ".join(f"{r:.2f}" for r in per_seed)
+    )
+    logger.stop()
+    return float(seed_returns.mean())
+
+
+def main() -> float:
+    import sys
+
+    from mava_tpu.parallel import initialize
+
+    initialize()
+    cfg = load_config("default_rec_ippo", sys.argv[1:])
+    performance = run_experiment(cfg)
+    print("rec-IPPO vmap-seeds experiment completed.")
+    return performance
+
+
+if __name__ == "__main__":
+    main()

@@ -248,3 +248,19 @@ def test_ff_ippo_vmap_seeds(fast_config_overrides):
     )
     perf = run_experiment(cfg)
     assert isinstance(perf, float)
+
+
+def test_rec_ippo_vmap_seeds(fast_config_overrides):
+    from mava_tpu.advanced_usage.rec_ippo_vmap_seeds import run_experiment
+
+    cfg = load_config(
+        "default_rec_ippo",
+        fast_config_overrides
+        + [
+            "env.kwargs.time_limit=16",
+            "system.recurrent_chunk_size=2",
+            "+system.num_seeds=2",
+        ],
+    )
+    perf = run_experiment(cfg)
+    assert isinstance(perf, float)
