@@ -118,6 +118,14 @@ def _make_mareacher(config) -> Tuple[Any, Any]:
     return MaReacher(**kwargs), MaReacher(**kwargs)
 
 
+@register("MaSwimmer")
+def _make_maswimmer(config) -> Tuple[Any, Any]:
+    from mava_tpu.envs.maswimmer import MaSwimmer
+
+    kwargs = _env_kwargs(config)
+    return MaSwimmer(**kwargs), MaSwimmer(**kwargs)
+
+
 @register("Gigastep")
 def _make_gigastep(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.gigastep import Gigastep
