@@ -61,7 +61,12 @@ def _put(tree: Any, mesh, spec: P) -> Any:
 
 
 def learner_setup(
-    env: MarlEnv, key, config: Config, mesh, num_seeds: int
+    env: MarlEnv,
+    key,
+    config: Config,
+    mesh,
+    num_seeds: int,
+    centralised_critic: bool = False,
 ) -> Tuple[Any, Any, LearnerState]:
     """Stock ff-IPPO learner with a leading seed axis on the whole learner state."""
     n_devices = num_learner_devices(mesh)
@@ -71,7 +76,7 @@ def learner_setup(
     action_head = make_action_head(config.network.action_head, env.action_dim)
     critic_torso = make_torso(config.network.critic_network.pre_torso)
     actor_network = Actor(torso=actor_torso, action_head=action_head)
-    critic_network = Critic(torso=critic_torso)
+    critic_network = Critic(torso=critic_torso, centralised_critic=centralised_critic)
 
     actor_optim = make_optimizer(
         make_learning_rate(config.system.actor_lr, config), config.system.max_grad_norm
@@ -149,7 +154,7 @@ def learner_setup(
     return learn, actor_network, init_state
 
 
-def run_experiment(_config: Config) -> float:
+def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
     config = copy.deepcopy(_config)
 
     mesh = make_mesh()
@@ -157,11 +162,11 @@ def run_experiment(_config: Config) -> float:
     config.arch.n_devices = n_devices
     num_seeds = int(config.system.get("num_seeds", 4))
 
-    env, eval_env = environments.make(config)
+    env, eval_env = environments.make(config, add_global_state=centralised_critic)
     key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
 
     learn, actor_network, learner_state = learner_setup(
-        env, key, config, mesh, num_seeds
+        env, key, config, mesh, num_seeds, centralised_critic
     )
 
     eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)

@@ -56,7 +56,12 @@ def _put(tree: Any, mesh, spec: P) -> Any:
 
 
 def learner_setup(
-    env: MarlEnv, key, config: Config, mesh, num_seeds: int
+    env: MarlEnv,
+    key,
+    config: Config,
+    mesh,
+    num_seeds: int,
+    centralised_critic: bool = False,
 ) -> Tuple[Any, Any, RNNLearnerState]:
     n_devices = num_learner_devices(mesh)
     num_agents = env.num_agents
@@ -72,6 +77,7 @@ def learner_setup(
         pre_torso=make_torso(config.network.critic_network.pre_torso),
         post_torso=make_torso(config.network.critic_network.post_torso),
         hidden_state_dim=config.network.hidden_state_dim,
+        centralised_critic=centralised_critic,
     )
     critic_network = Critic(**critic_kwargs)
     critic_carry_network = Critic(**critic_kwargs, collect_carries=True)
@@ -175,7 +181,7 @@ def learner_setup(
     return learn, actor_network, init_state
 
 
-def run_experiment(_config: Config) -> float:
+def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
     config = copy.deepcopy(_config)
 
     mesh = make_mesh()
@@ -186,11 +192,11 @@ def run_experiment(_config: Config) -> float:
     if config.system.get("recurrent_chunk_size") is None:
         config.system.recurrent_chunk_size = config.system.rollout_length
 
-    env, eval_env = environments.make(config)
+    env, eval_env = environments.make(config, add_global_state=centralised_critic)
     key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
 
     learn, actor_network, learner_state = learner_setup(
-        env, key, config, mesh, num_seeds
+        env, key, config, mesh, num_seeds, centralised_critic
     )
 
     eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)

@@ -284,3 +284,31 @@ def test_rec_ippo_vmap_seeds(fast_config_overrides):
     )
     perf = run_experiment(cfg)
     assert isinstance(perf, float)
+
+
+def test_ff_mappo_vmap_seeds(fast_config_overrides):
+    """CTDE delta composes with the seed axis: centralised critic + global state."""
+    from mava_tpu.advanced_usage.ff_mappo_vmap_seeds import run_experiment
+
+    cfg = load_config(
+        "default_ff_mappo",
+        fast_config_overrides + ["env.kwargs.time_limit=16", "+system.num_seeds=2"],
+    )
+    perf = run_experiment(cfg)
+    assert isinstance(perf, float)
+
+
+def test_rec_mappo_vmap_seeds(fast_config_overrides):
+    from mava_tpu.advanced_usage.rec_mappo_vmap_seeds import run_experiment
+
+    cfg = load_config(
+        "default_rec_mappo",
+        fast_config_overrides
+        + [
+            "env.kwargs.time_limit=16",
+            "system.recurrent_chunk_size=2",
+            "+system.num_seeds=2",
+        ],
+    )
+    perf = run_experiment(cfg)
+    assert isinstance(perf, float)
