@@ -82,6 +82,63 @@ class FeedForwardQNet(nn.Module):
         return jnp.squeeze(q, axis=-1)
 
 
+def _blockwise_orthogonal(key: jax.Array, shape: Sequence[int], dtype=jnp.float32):
+    """Init a (h, 3h) recurrent kernel as 3 independent orthogonal (h, h) blocks.
+
+    Matches `flax.linen.GRUCell`'s per-gate `recurrent_kernel_init=orthogonal()`
+    exactly in distribution — a single orthogonal draw over the fused (h, 3h) shape
+    would correlate the gate blocks instead.
+    """
+    h = shape[0]
+    assert shape[1] == 3 * h, "fused recurrent kernel must be (h, 3h)"
+    init = orthogonal()
+    keys = jax.random.split(key, 3)
+    return jnp.concatenate([init(k, (h, h), dtype) for k in keys], axis=-1)
+
+
+class FusedGRUCell(nn.Module):
+    """GRU cell with the 6 gate projections fused into 2 wide matmuls.
+
+    Function-identical to `flax.linen.GRUCell` (reference `networks.py:238-266`
+    uses the flax cell):
+
+        r = sigmoid(x @ Wir + bir + h @ Whr)
+        z = sigmoid(x @ Wiz + biz + h @ Whz)
+        n = tanh(x @ Win + bin + r * (h @ Whn + bhn))
+        h' = (1 - z) * n + z * h
+
+    but issues the input projections as ONE (B, in) @ (in, 3h) matmul and the
+    recurrent projections as ONE (B, h) @ (h, 3h) matmul instead of six separate
+    Dense kernels. The rollout/BPTT scans are latency-bound, not flop-bound
+    (docs/tpu_performance.md §7), so per-step kernel count is the cost that
+    matters. Init distributions match flax per gate block (lecun-normal input
+    kernels, orthogonal recurrent blocks, zero biases; only the `n` gate has a
+    recurrent-side bias). Numerical equivalence to packed flax params is pinned
+    in tests/test_recurrent.py.
+    """
+
+    @nn.compact
+    def __call__(self, carry: jnp.ndarray, inputs: jnp.ndarray):
+        h = carry
+        hidden = h.shape[-1]
+        w_i = self.param(
+            "wi", nn.initializers.lecun_normal(), (inputs.shape[-1], 3 * hidden)
+        )
+        b_i = self.param("bi", nn.initializers.zeros_init(), (3 * hidden,))
+        w_h = self.param("wh", _blockwise_orthogonal, (hidden, 3 * hidden))
+        b_hn = self.param("bhn", nn.initializers.zeros_init(), (hidden,))
+
+        gates_i = inputs @ w_i + b_i
+        gates_h = h @ w_h
+        xr, xz, xn = jnp.split(gates_i, 3, axis=-1)
+        hr, hz, hn = jnp.split(gates_h, 3, axis=-1)
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * (hn + b_hn))
+        new_h = (1.0 - z) * n + z * h
+        return new_h, new_h
+
+
 class ScannedRNN(nn.Module):
     """GRU scanned over the leading (time) axis with carry reset where `resets` is set.
 
@@ -113,7 +170,7 @@ class ScannedRNN(nn.Module):
             self.initialize_carry(ins.shape[:-1], self.hidden_state_dim),
             carry,
         )
-        new_rnn_state, y = nn.GRUCell(features=ins.shape[-1])(rnn_state, ins)
+        new_rnn_state, y = FusedGRUCell()(rnn_state, ins)
         if self.collect_carries:
             return new_rnn_state, (carry, y)
         return new_rnn_state, y

@@ -141,3 +141,63 @@ def test_collect_carries_matches_stepwise_critic():
         np.asarray(carries), np.asarray(jnp.stack(stepwise_carries)), rtol=1e-6
     )
     np.testing.assert_allclose(np.asarray(final_h), np.asarray(h), rtol=1e-6)
+
+
+def test_fused_gru_matches_flax_gru():
+    """FusedGRUCell with packed flax params reproduces flax.linen.GRUCell exactly.
+
+    The fused cell issues 2 wide matmuls instead of flax's 6 Dense kernels; this
+    pins that the function computed is the same GRU (distribution-preserving perf
+    transformation, CLAUDE.md invariant)."""
+    from flax import linen as nn
+
+    from mava_tpu.networks.actor_critic import FusedGRUCell
+
+    hidden, feat, batch = 32, 24, 7
+    key = jax.random.PRNGKey(0)
+    k_init, k_h, k_x = jax.random.split(key, 3)
+    h0 = jax.random.normal(k_h, (batch, hidden))
+    xs = jax.random.normal(k_x, (10, batch, feat))
+
+    flax_cell = nn.GRUCell(features=hidden)
+    flax_params = flax_cell.init(k_init, h0, xs[0])["params"]
+
+    # Pack the 6 per-gate Dense kernels into the fused (in,3h)/(h,3h) layout.
+    packed = {
+        "wi": jnp.concatenate(
+            [flax_params[g]["kernel"] for g in ("ir", "iz", "in")], axis=-1
+        ),
+        "bi": jnp.concatenate(
+            [flax_params[g]["bias"] for g in ("ir", "iz", "in")], axis=-1
+        ),
+        "wh": jnp.concatenate(
+            [flax_params[g]["kernel"] for g in ("hr", "hz", "hn")], axis=-1
+        ),
+        "bhn": flax_params["hn"]["bias"],
+    }
+
+    fused_cell = FusedGRUCell()
+    h_flax, h_fused = h0, h0
+    for t in range(xs.shape[0]):
+        h_flax, y_flax = flax_cell.apply({"params": flax_params}, h_flax, xs[t])
+        h_fused, y_fused = fused_cell.apply({"params": packed}, h_fused, xs[t])
+        np.testing.assert_allclose(h_fused, h_flax, rtol=1e-6, atol=1e-6)
+
+
+def test_fused_gru_recurrent_init_blocks_are_orthogonal():
+    """Each (h,h) gate block of the fused recurrent kernel is orthogonal, matching
+    flax GRUCell's per-gate orthogonal() recurrent init (not one fused draw)."""
+    from mava_tpu.networks.actor_critic import FusedGRUCell
+
+    hidden, feat = 16, 16
+    cell = FusedGRUCell()
+    params = cell.init(
+        jax.random.PRNGKey(3), jnp.zeros((2, hidden)), jnp.zeros((2, feat))
+    )["params"]
+    wh = params["wh"]
+    assert wh.shape == (hidden, 3 * hidden)
+    for i in range(3):
+        block = wh[:, i * hidden : (i + 1) * hidden]
+        np.testing.assert_allclose(
+            block.T @ block, jnp.eye(hidden), rtol=1e-5, atol=1e-5
+        )
