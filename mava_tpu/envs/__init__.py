@@ -126,6 +126,14 @@ def _make_maswimmer(config) -> Tuple[Any, Any]:
     return MaSwimmer(**kwargs), MaSwimmer(**kwargs)
 
 
+@register("MaHopper")
+def _make_mahopper(config) -> Tuple[Any, Any]:
+    from mava_tpu.envs.mahopper import MaHopper
+
+    kwargs = _env_kwargs(config)
+    return MaHopper(**kwargs), MaHopper(**kwargs)
+
+
 @register("Gigastep")
 def _make_gigastep(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.gigastep import Gigastep

@@ -195,6 +195,28 @@ def test_ff_isac_maswimmer(fast_config_overrides):
     assert isinstance(perf, float)
 
 
+def test_ff_masac_mahopper(fast_config_overrides):
+    """MASAC on the contact-locomotion env: exercises real termination
+    (discount 0 on falls) through the off-policy bootstrap + the CTDE joint
+    critic on a 3-agent continuous task."""
+    perf = _run(
+        "sac.ff_masac",
+        "default_ff_masac",
+        fast_config_overrides
+        + [
+            "env=mahopper",
+            "env.kwargs.time_limit=16",
+            "system.num_updates=16",
+            "system.rollout_length=2",
+            "system.buffer_size=128",
+            "system.explore_steps=8",
+            "system.batch_size=4",
+            "system.epochs=2",
+        ],
+    )
+    assert isinstance(perf, float)
+
+
 def test_ff_ippo_continuous_maswarm(fast_config_overrides):
     """PPO with the continuous tanh-Normal head (network=continuous_mlp) end-to-end —
     exercises TanhNormal.sample_from_noise in the hoisted-RNG rollout."""
