@@ -134,6 +134,14 @@ def _make_mahopper(config) -> Tuple[Any, Any]:
     return MaHopper(**kwargs), MaHopper(**kwargs)
 
 
+@register("MaCheetah")
+def _make_macheetah(config) -> Tuple[Any, Any]:
+    from mava_tpu.envs.macheetah import MaCheetah
+
+    kwargs = _env_kwargs(config)
+    return MaCheetah(**kwargs), MaCheetah(**kwargs)
+
+
 @register("Gigastep")
 def _make_gigastep(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.gigastep import Gigastep

@@ -21,7 +21,7 @@ _SCENARIO_ENV = {
     "clean": "cleaner", "con-": "connector",
     "hide": "gigastep", "waypoint": "gigastep",
     "matrax": "matrax", "spread": "maswarm", "reacher": "mareacher",
-    "swimmer": "maswimmer", "hopper": "mahopper",
+    "swimmer": "maswimmer", "hopper": "mahopper", "halfcheetah": "macheetah",
 }
 
 

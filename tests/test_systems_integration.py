@@ -217,6 +217,26 @@ def test_ff_masac_mahopper(fast_config_overrides):
     assert isinstance(perf, float)
 
 
+def test_ff_isac_macheetah(fast_config_overrides):
+    """ISAC on the tree-kinematics contact env (halfcheetah 6x1: 6 agents)."""
+    perf = _run(
+        "sac.ff_isac",
+        "default_ff_isac",
+        fast_config_overrides
+        + [
+            "env=macheetah",
+            "env.kwargs.time_limit=16",
+            "system.num_updates=16",
+            "system.rollout_length=2",
+            "system.buffer_size=128",
+            "system.explore_steps=8",
+            "system.batch_size=4",
+            "system.epochs=2",
+        ],
+    )
+    assert isinstance(perf, float)
+
+
 def test_ff_ippo_continuous_maswarm(fast_config_overrides):
     """PPO with the continuous tanh-Normal head (network=continuous_mlp) end-to-end —
     exercises TanhNormal.sample_from_noise in the hoisted-RNG rollout."""
