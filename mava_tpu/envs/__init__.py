@@ -142,6 +142,14 @@ def _make_macheetah(config) -> Tuple[Any, Any]:
     return MaCheetah(**kwargs), MaCheetah(**kwargs)
 
 
+@register("MaWalker")
+def _make_mawalker(config) -> Tuple[Any, Any]:
+    from mava_tpu.envs.mawalker import MaWalker
+
+    kwargs = _env_kwargs(config)
+    return MaWalker(**kwargs), MaWalker(**kwargs)
+
+
 @register("Gigastep")
 def _make_gigastep(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.gigastep import Gigastep

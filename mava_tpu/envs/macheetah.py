@@ -84,28 +84,44 @@ class MaCheetahState:
 
 
 class MaCheetah:
-    """Planar half-cheetah (torso + 2 three-link legs), joints across agents."""
+    """Planar half-cheetah (torso + 2 three-link legs), joints across agents.
+
+    The topology/limits/reward constants are class attributes so sibling
+    planar-tree robots (MaWalker) can subclass with a different body.
+    """
+
+    TOPOLOGY = _TOPOLOGY
+    JOINT_LO = _JOINT_LO
+    JOINT_HI = _JOINT_HI
+    DEFAULT_TORQUE = _TORQUE_SCALE
+    CTRL_COST = _CTRL_COST
+    HEALTHY_BONUS = 0.0  # half-cheetah has no alive bonus (and no termination)
+    TORSO_REST = 0.0  # torso lies along +x
 
     def __init__(
         self,
         num_agents: int = 6,
         joints_per_agent: int = 1,
         time_limit: int = 250,
-        torque_scale: float = _TORQUE_SCALE,
+        torque_scale: float | None = None,
         joint_damping: float = _JOINT_DAMPING,
         gravity: float = _GRAVITY,
     ):
+        _TOPOLOGY = self.TOPOLOGY
         num_joints = num_agents * joints_per_agent
         assert num_joints == len(_TOPOLOGY) - 1, (
-            "MaCheetah has exactly 6 joints; choose a factorization with "
-            f"num_agents*joints_per_agent == 6, got {num_joints}"
+            f"{type(self).__name__} has exactly {len(_TOPOLOGY) - 1} joints; "
+            "choose a factorization with num_agents*joints_per_agent == "
+            f"{len(_TOPOLOGY) - 1}, got {num_joints}"
         )
         self.num_agents = num_agents
         self.joints_per_agent = joints_per_agent
         self.num_joints = num_joints
         self.num_links = len(_TOPOLOGY)
         self.time_limit = time_limit
-        self.torque_scale = float(torque_scale)
+        self.torque_scale = float(
+            self.DEFAULT_TORQUE if torque_scale is None else torque_scale
+        )
         self.joint_damping = float(joint_damping)
         self.gravity = float(gravity)
         self.action_dim = joints_per_agent
@@ -129,8 +145,8 @@ class MaCheetah:
             S[k, p] += fracs[k]
         self._C = jnp.array(C)
         self._S = jnp.array(S)
-        self._joint_lo = jnp.array(_JOINT_LO)
-        self._joint_hi = jnp.array(_JOINT_HI)
+        self._joint_lo = jnp.array(self.JOINT_LO)
+        self._joint_hi = jnp.array(self.JOINT_HI)
 
         # own joints (cos, sin, vel) + shared (torso_y, cos th, sin th, thd, vx, vy)
         self.num_obs_features = 3 * joints_per_agent + 6
@@ -261,12 +277,20 @@ class MaCheetah:
         mask = jnp.ones((a, self.action_dim), dtype=jnp.bool_)
         return Observation(agents_view, mask, jnp.repeat(state.step_count, a))
 
+    def _terminated(self, q: jnp.ndarray) -> jnp.ndarray:
+        """Failure-state check; the half-cheetah never terminates (it can keep
+        running pitched over), MaWalker overrides with a healthy-state test."""
+        return jnp.bool_(False)
+
     def reset(self, key: PRNGKey) -> Tuple[MaCheetahState, TimeStep]:
         key, q_key = jax.random.split(key)
         noise = jax.random.uniform(
             q_key, (1 + self.num_joints,), minval=-0.05, maxval=0.05
         )
-        q = jnp.concatenate([jnp.zeros(2), noise])
+        rest = jnp.concatenate(
+            [jnp.zeros(2), jnp.full((1,), self.TORSO_REST), jnp.zeros(self.num_joints)]
+        )
+        q = rest + jnp.concatenate([jnp.zeros(2), noise])
         # Drop the base so the lowest contact point starts at the clearance.
         lowest = jnp.min(self._contact_points(q)[:, 1])
         q = q.at[1].add(_STAND_CLEARANCE - lowest)
@@ -292,16 +316,21 @@ class MaCheetah:
         new_state = MaCheetahState(key=state.key, step_count=step_count, q=q, qd=qd)
 
         forward = (self._com(q)[0] - com_before[0]) / _DT
-        ctrl = _CTRL_COST * jnp.sum(action**2)
-        reward = jnp.repeat((forward - ctrl).astype(jnp.float32), self.num_agents)
+        ctrl = self.CTRL_COST * jnp.sum(action**2)
+        reward = jnp.repeat(
+            (forward + self.HEALTHY_BONUS - ctrl).astype(jnp.float32), self.num_agents
+        )
 
+        terminated = self._terminated(q)
         time_up = step_count >= self.time_limit
         timestep = TimeStep(
             step_type=jnp.where(
-                time_up, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
+                terminated | time_up, jnp.int32(StepType.LAST), jnp.int32(StepType.MID)
             ),
             reward=reward,
-            discount=jnp.ones(self.num_agents, dtype=jnp.float32),
+            # discount 0 only on real termination; truncation bootstraps.
+            discount=jnp.where(terminated, 0.0, 1.0).astype(jnp.float32)
+            * jnp.ones(self.num_agents, dtype=jnp.float32),
             observation=self._observe(new_state),
             extras={},
         )

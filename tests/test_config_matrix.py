@@ -22,6 +22,7 @@ _SCENARIO_ENV = {
     "hide": "gigastep", "waypoint": "gigastep",
     "matrax": "matrax", "spread": "maswarm", "reacher": "mareacher",
     "swimmer": "maswimmer", "hopper": "mahopper", "halfcheetah": "macheetah",
+    "walker2d": "mawalker",
 }
 
 
