@@ -142,6 +142,22 @@ def _make_macheetah(config) -> Tuple[Any, Any]:
     return MaCheetah(**kwargs), MaCheetah(**kwargs)
 
 
+@register("MaAnt")
+def _make_maant(config) -> Tuple[Any, Any]:
+    from mava_tpu.envs.maant import MaAnt
+
+    kwargs = _env_kwargs(config)
+    return MaAnt(**kwargs), MaAnt(**kwargs)
+
+
+@register("MaHumanoid")
+def _make_mahumanoid(config) -> Tuple[Any, Any]:
+    from mava_tpu.envs.mahumanoid import MaHumanoid
+
+    kwargs = _env_kwargs(config)
+    return MaHumanoid(**kwargs), MaHumanoid(**kwargs)
+
+
 @register("MaWalker")
 def _make_mawalker(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.mawalker import MaWalker

@@ -2,9 +2,8 @@
 
 The reference's MaBrax scenario list is [ant_4x2, halfcheetah_6x1, hopper_3x1,
 humanoid_9|8, walker2d_2x3] (`mava/configs/env/mabrax.yaml:7`); with MaHopper
-and MaCheetah this covers the three PLANAR robots natively (ant/humanoid are
-genuinely 3D and out of scope for the planar engine — see
-docs/environments.md).
+and MaCheetah this covers the three PLANAR robots natively (the 3D ant is
+`maant.py`'s point-cloud Lagrangian engine — see docs/environments.md).
 
 The walker is the same kinematic-tree machinery as `macheetah.py` with a biped
 body: a vertical torso whose bottom end carries TWO identical three-link legs

@@ -22,7 +22,7 @@ _SCENARIO_ENV = {
     "hide": "gigastep", "waypoint": "gigastep",
     "matrax": "matrax", "spread": "maswarm", "reacher": "mareacher",
     "swimmer": "maswimmer", "hopper": "mahopper", "halfcheetah": "macheetah",
-    "walker2d": "mawalker",
+    "walker2d": "mawalker", "ant": "maant", "humanoid": "mahumanoid",
 }
 
 

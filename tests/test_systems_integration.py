@@ -237,6 +237,27 @@ def test_ff_isac_macheetah(fast_config_overrides):
     assert isinstance(perf, float)
 
 
+def test_ff_isac_maant(fast_config_overrides):
+    """ISAC on the 3D quadruped (ant_4x2): exercises the point-cloud Lagrangian
+    engine + tilt termination through the off-policy bootstrap."""
+    perf = _run(
+        "sac.ff_isac",
+        "default_ff_isac",
+        fast_config_overrides
+        + [
+            "env=maant",
+            "env.kwargs.time_limit=16",
+            "system.num_updates=16",
+            "system.rollout_length=2",
+            "system.buffer_size=128",
+            "system.explore_steps=8",
+            "system.batch_size=4",
+            "system.epochs=2",
+        ],
+    )
+    assert isinstance(perf, float)
+
+
 def test_ff_ippo_continuous_maswarm(fast_config_overrides):
     """PPO with the continuous tanh-Normal head (network=continuous_mlp) end-to-end —
     exercises TanhNormal.sample_from_noise in the hoisted-RNG rollout."""
