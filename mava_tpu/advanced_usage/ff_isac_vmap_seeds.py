@@ -1,0 +1,216 @@
+"""ff-ISAC/MASAC with VMAPPED SEEDS: N independent SAC seeds in ONE program.
+
+Same rationale as `ff_ippo_vmap_seeds.py` (the MARL step is latency-bound on
+the serial rollout chain; docs/tpu_performance.md §7), but MORE valuable for
+the off-policy family: SAC's wall-clock is dominated by many tiny
+train-epoch steps (BASELINE.md: ff-ISAC ~4k env-steps/s), so the idle batch
+dimensions are even wider. Replay memory is the trade — the buffer is
+replicated per seed, so device HBM scales as `num_seeds * buffer_size`
+(keep `system.buffer_size` sized accordingly; the continuous-control tasks
+use small observations, so the default 1e6 fits several seeds).
+
+Mechanics: the stock `ff_isac.init` is run once per seed (seed s uses
+`system.seed + s`) and the resulting learner states are STACKED on a leading
+axis — replication by construction, nothing re-derived. The stock
+explore/update fns are wrapped in `jax.vmap` INSIDE `shard_map`, so the
+gradient `pmean` over the mesh axis applies per seed automatically. Sharding
+specs are the stock `_state_specs` lifted by one leading (unsharded) seed
+axis.
+
+Usage:
+    python -m mava_tpu.advanced_usage.ff_isac_vmap_seeds \
+        env=mahopper system.total_timesteps=300000 +system.num_seeds=4
+
+Reference contrast: the reference runs SAC seeds as separate processes
+(`mava/systems/sac/ff_isac.py:418` one-seed main); this module is a TPU-first
+capability it does not have.
+"""
+
+from __future__ import annotations
+
+import copy
+import time
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding
+from jax.sharding import PartitionSpec as P
+
+from mava_tpu.envs.wrappers import get_final_step_metrics
+from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
+from mava_tpu.parallel import (
+    DATA_AXIS,
+    build_learner,
+    make_mesh,
+    num_learner_devices,
+)
+from mava_tpu.systems.sac import ff_isac
+from mava_tpu.utils.config import Config, load_config
+from mava_tpu.utils.logger import LogEvent, MavaLogger
+from mava_tpu.utils.timestep_checker import check_total_timesteps
+
+
+def lift_specs(spec_tree: Any) -> Any:
+    """Prepend an unsharded seed axis to every PartitionSpec in a tree."""
+    return jax.tree.map(lambda s: P(None, *s), spec_tree)
+
+
+def stack_states(states: list) -> Any:
+    """Host-side stack of per-seed learner states on a new leading axis."""
+    return jax.tree.map(lambda *xs: np.stack(xs), *states)
+
+
+def place_state(state: Any, spec_tree: Any, mesh) -> Any:
+    """device_put a stacked state using a (prefix) tree of PartitionSpecs.
+
+    `spec_tree`'s P leaves are prefixes over the state's subtrees (the same
+    contract `shard_map` uses): each P is broadcast over the corresponding
+    state subtree.
+    """
+    flat_specs, spec_def = jax.tree.flatten(
+        spec_tree, is_leaf=lambda x: isinstance(x, P)
+    )
+    subtrees = spec_def.flatten_up_to(state)
+    placed = [
+        jax.tree.map(lambda x: jax.device_put(x, NamedSharding(mesh, spec)), sub)
+        for spec, sub in zip(flat_specs, subtrees)
+    ]
+    return jax.tree.unflatten(spec_def, placed)
+
+
+def learner_setup(
+    cfg: Config, mesh, num_seeds: int, centralised_critic: bool = False
+) -> Tuple[Any, Any, Any, Any, Any]:
+    """Per-seed stock init, stacked and placed with seed-lifted specs."""
+    states = []
+    for s in range(num_seeds):
+        cfg_s = copy.deepcopy(cfg)
+        cfg_s.system.seed = int(cfg.system.seed) + s
+        envs_, networks, optims, rb, ls, target_entropy, _ = ff_isac.init(
+            cfg_s, mesh, centralised_critic
+        )
+        states.append(jax.device_get(ls))
+    # env/networks/optims/rb are structurally identical across seeds; keep the last.
+    stacked = stack_states(states)
+
+    stock_specs = ff_isac._state_specs(stacked.buffer_state)
+    seed_specs = lift_specs(stock_specs)
+    learner_state = place_state(stacked, seed_specs, mesh)
+
+    env, eval_env = envs_
+    cfg.system.num_agents = env.num_agents  # init() set it only on seed copies
+    explore_fn, update_fn = ff_isac.make_update_fns(
+        cfg, env, networks, optims, rb, target_entropy, centralised_critic
+    )
+    donate = cfg.arch.get("donate_buffers", False)
+    explore = build_learner(
+        jax.vmap(explore_fn),
+        mesh,
+        in_specs=(seed_specs,),
+        out_specs=(seed_specs, lift_specs(P(None, DATA_AXIS))),
+        donate=donate,
+    )
+    update = build_learner(
+        jax.vmap(update_fn),
+        mesh,
+        in_specs=(seed_specs,),
+        out_specs=(seed_specs, (lift_specs(P(None, None, DATA_AXIS)), P())),
+        donate=donate,
+    )
+    return (env, eval_env), networks, (explore, update), learner_state, num_seeds
+
+
+def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
+    cfg = copy.deepcopy(cfg)
+    mesh = make_mesh()
+    n_devices = num_learner_devices(mesh)
+    cfg.arch.n_devices = n_devices
+    cfg = check_total_timesteps(cfg)
+    num_seeds = int(cfg.system.get("num_seeds", 4))
+
+    steps_per_rollout = int(cfg.system.total_timesteps // cfg.arch.num_evaluation)
+    anakin_act_steps = n_devices * cfg.arch.num_envs * cfg.system.rollout_length
+    cfg.system.scan_steps = max(1, int(steps_per_rollout / anakin_act_steps))
+
+    (env, eval_env), networks, (explore, update), learner_state, _ = learner_setup(
+        cfg, mesh, num_seeds, centralised_critic
+    )
+
+    logger = MavaLogger(cfg)
+    actor, _ = networks
+    eval_act_fn = make_ff_eval_act_fn(actor.apply, cfg)
+    evaluator = get_eval_fn(eval_env, eval_act_fn, cfg, mesh, absolute_metric=False)
+    key = jax.random.PRNGKey(cfg.system.seed)
+
+    start_time = time.time()
+    learner_state, metrics = explore(learner_state)
+    jax.block_until_ready(learner_state)
+    # every seed consumed explore-steps on every shard; t is identical per seed
+    t = int(learner_state.t[0]) * n_devices
+    final_metrics, ep_completed = get_final_step_metrics(metrics)
+    final_metrics["steps_per_second"] = num_seeds * t / (time.time() - start_time)
+    if ep_completed:
+        logger.log(final_metrics, t, 0, LogEvent.ACT)
+
+    seed_returns = jnp.zeros(num_seeds)
+    start, stop = t, int(cfg.system.total_timesteps + 1)
+    for eval_idx, t in enumerate(range(start, stop, steps_per_rollout)):
+        start_time = time.time()
+        learner_state, (metrics, losses) = update(learner_state)
+        jax.block_until_ready(learner_state)
+        t += steps_per_rollout
+
+        elapsed = time.time() - start_time
+        final_metrics, ep_completed = get_final_step_metrics(metrics)
+        final_metrics["steps_per_second"] = num_seeds * steps_per_rollout / elapsed
+        if ep_completed:
+            logger.log(final_metrics, t, eval_idx, LogEvent.ACT)
+        logger.log(
+            {**losses, "log_alpha": learner_state.params.log_alpha},
+            t,
+            eval_idx,
+            LogEvent.TRAIN,
+        )
+
+        per_seed = []
+        for s in range(num_seeds):
+            key, eval_key = jax.random.split(key)
+            params_s = jax.tree.map(lambda x: x[s], learner_state.params.actor)
+            eval_metrics = evaluator(params_s, eval_key, {})
+            per_seed.append(float(jnp.mean(eval_metrics["episode_return"])))
+        seed_returns = jnp.array(per_seed)
+        logger.log(
+            {
+                "episode_return": seed_returns,
+                "seed_return_best": float(seed_returns.max()),
+                "seed_return_worst": float(seed_returns.min()),
+            },
+            t,
+            eval_idx,
+            LogEvent.EVAL,
+        )
+
+    print(
+        "vmap-seeds final eval returns per seed: "
+        + ", ".join(f"{r:.2f}" for r in per_seed)
+    )
+    logger.stop()
+    return float(seed_returns.mean())
+
+
+def main() -> float:
+    import sys
+
+    from mava_tpu.parallel import initialize
+
+    initialize()
+    cfg = load_config("default_ff_isac", sys.argv[1:])
+    performance = run_experiment(cfg)
+    print("ff-ISAC vmap-seeds experiment completed.")
+    return performance
+
+
+if __name__ == "__main__":
+    main()

@@ -81,3 +81,115 @@ def test_vmap_seeds_matches_stock_learner_bitwise():
                 np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-6)
             else:
                 np.testing.assert_array_equal(g, w)
+
+
+def _assert_tree_close(got, want):
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        g, w = np.asarray(g), np.asarray(w)
+        if np.issubdtype(g.dtype, np.floating):
+            np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(g, w)
+
+
+def test_isac_vmap_seeds_matches_stock_learner():
+    """Off-policy extension of the same claim: seed s of the batched SAC
+    program (explore + one update, including its per-seed replay buffer)
+    equals the stock ff-ISAC learner started from seed s's initial state."""
+    from mava_tpu.advanced_usage import ff_isac_vmap_seeds as vs
+    from mava_tpu.systems.sac import ff_isac
+
+    cfg = load_config(
+        "default_ff_isac",
+        [
+            "env=maswarm",
+            "env.kwargs.time_limit=8",
+            "arch.num_envs=2",
+            "system.rollout_length=2",
+            "system.explore_steps=8",
+            "system.buffer_size=32",
+            "system.batch_size=4",
+            "system.epochs=2",
+            "logger.use_console=False",
+        ],
+    )
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg.system.scan_steps = 2
+    num_seeds = 2
+
+    _, _, (explore_v, update_v), state_v, _ = vs.learner_setup(cfg, mesh, num_seeds)
+    init_host = jax.device_get(state_v)
+
+    mid_v, _ = explore_v(state_v)
+    out_v, _ = update_v(mid_v)
+    out_v = jax.device_get(out_v)
+
+    # Stock learner fns (identical construction path).
+    envs_, networks, optims, rb, _, target_entropy, _ = ff_isac.init(cfg, mesh)
+    explore_fn, update_fn = ff_isac.make_update_fns(
+        cfg, envs_[0], networks, optims, rb, target_entropy, False
+    )
+    stock_specs = ff_isac._state_specs(init_host.buffer_state)
+    from mava_tpu.parallel import build_learner
+
+    explore_s = build_learner(
+        explore_fn, mesh, in_specs=(stock_specs,),
+        out_specs=(stock_specs, P(None, DATA_AXIS)),
+    )
+    update_s = build_learner(
+        update_fn, mesh, in_specs=(stock_specs,),
+        out_specs=(stock_specs, (P(None, None, DATA_AXIS), P())),
+    )
+
+    for s in range(num_seeds):
+        state_s = jax.tree.map(lambda x: x[s], init_host)
+        state_s = vs.place_state(state_s, stock_specs, mesh)
+        mid_s, _ = explore_s(state_s)
+        out_s, _ = update_s(mid_s)
+        _assert_tree_close(jax.tree.map(lambda x: x[s], out_v), jax.device_get(out_s))
+
+
+def test_rec_iql_vmap_seeds_matches_stock_learner():
+    """Same claim for the fused act+train Q-learner: per-seed slice of the
+    batched program equals the stock rec-IQL update (replay write + sample +
+    double-DQN train, eps schedule driven by the per-seed step counter)."""
+    from mava_tpu.advanced_usage import rec_iql_vmap_seeds as vs
+    from mava_tpu.systems.q_learning import rec_iql
+
+    cfg = load_config(
+        "default_rec_iql",
+        [
+            "env=smax",
+            "env/scenario=2s3z",
+            "arch.num_envs=2",
+            "system.rollout_length=4",
+            "system.buffer_size=16",
+            "system.sample_batch_size=2",
+            "system.sample_sequence_length=8",
+            "system.epochs=1",
+            "system.min_buffer_size=2",
+            "logger.use_console=False",
+        ],
+    )
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg.system.scan_steps = 2
+    num_seeds = 2
+
+    _, _, update_v, state_v = vs.learner_setup(cfg, mesh, num_seeds)
+    init_host = jax.device_get(state_v)
+    out_v, _ = update_v(state_v)
+    out_v = jax.device_get(out_v)
+
+    envs_, q_net, opt, rb, ls, _ = rec_iql.init(cfg, mesh)
+    update_s = rec_iql.build_learn_fn(
+        cfg, envs_[0], q_net, opt, rb, mesh, ls.buffer_state
+    )
+    stock_specs = vs._stock_specs(init_host.buffer_state)
+
+    for s in range(num_seeds):
+        state_s = jax.tree.map(lambda x: x[s], init_host)
+        state_s = vs.place_state(state_s, stock_specs, mesh)
+        out_s, _ = update_s(state_s)
+        _assert_tree_close(jax.tree.map(lambda x: x[s], out_v), jax.device_get(out_s))
