@@ -11,16 +11,19 @@ lifted to 3D by modelling every body as a static cloud of POINT MASSES:
 
     q  = (x, y, z, roll, pitch, yaw, hip_0, ankle_0, ..., hip_3, ankle_3)
     points(q) : R^14 -> R^(P,3)   world positions of all mass points
-    T(q, qd)  = 1/2 sum_p m_p |jvp(points)(q, qd)_p|^2 + armature terms
-    V(q)      = g sum_p m_p z_p
-    M(q)      = hessian_qd T     (exact: T is quadratic in qd)
-    M qdd     = tau + J^T F_contact - c qd_joints - k_limit - C qd + dT/dq - dV/dq
+    M(q)      = J^T diag(m) J + diag(armature),  J = d points / d q
+    M qdd     = J^T m (g - Jdot qd) + tau + J^T F_contact - c qd_joints - k_limit
+
+(the Newton-d'Alembert point-mass form — see `pointcloud3d.py`; gravity and
+every Coriolis/centrifugal term collapse into the bias acceleration Jdot qd,
+and the whole dynamics is one `jacfwd` + two nested `jvp`s + one `vjp` of the
+kinematics; a Lagrangian-equivalence test pins it against the hessian path)
 
 Point clouds stand in for inertia tensors: the torso is its center plus six
 surface points (giving full rotational inertia about every axis), each leg
 link is a 3-point rod (1/4, 1/2, 1/4 masses — rod-like inertia). No
 Newton-Euler recursion, no quaternion algebra, no scatters: the whole
-dynamics is jvp/vjp/hessian of one dense (P,3) kinematics function, which XLA
+dynamics is jvp/vjp/jacfwd of one dense (P,3) kinematics function, which XLA
 fuses into a handful of small matmuls. Ground contact is the spring-damper
 normal + Coulomb-clamped tangential model of `mahopper.py`, with the
 tangential clamp applied per horizontal axis (box friction cone).
@@ -52,6 +55,7 @@ import numpy as np
 from flax import struct
 
 from mava_tpu import specs
+from mava_tpu.envs.pointcloud3d import newton_accel
 from mava_tpu.types import Observation, PRNGKey, StepType, TimeStep, restart
 
 _DT = 0.02
@@ -229,15 +233,24 @@ class MaAnt:
         _, vjp = jax.vjp(self._contact_points, q)
         return vjp(forces)[0]
 
+    def _armature_diag(self) -> jnp.ndarray:
+        return jnp.concatenate(
+            [
+                jnp.zeros(3),
+                jnp.full(3, _BASE_ROT_ARMATURE),
+                jnp.full(self.num_joints, _ARMATURE),
+            ]
+        )
+
     def mass_matrix(self, q: jnp.ndarray) -> jnp.ndarray:
-        return jax.hessian(self._kinetic, argnums=1)(q, jnp.zeros_like(q))
+        J = jax.jacfwd(self._points)(q)
+        mJ = self._point_masses[:, None, None] * J
+        return jnp.einsum("pin,pim->nm", mJ, J) + jnp.diag(self._armature_diag())
 
     def _accel(self, q: jnp.ndarray, qd: jnp.ndarray, tau: jnp.ndarray) -> jnp.ndarray:
-        M = self.mass_matrix(q)
-        momentum = lambda q_: jax.grad(self._kinetic, argnums=1)(q_, qd)
-        coriolis = jax.jacfwd(momentum)(q) @ qd
-        dT_dq = jax.grad(self._kinetic, argnums=0)(q, qd)
-        dV_dq = jax.grad(self._potential)(q)
+        # Newton-d'Alembert point-cloud form (pointcloud3d.newton_accel):
+        # algebraically identical to the Lagrangian hessian path (pinned by
+        # test_newton_accel_matches_lagrangian) with a ~4x smaller graph.
         damping = -self.joint_damping * jnp.concatenate([jnp.zeros(6), qd[6:]])
         alpha, alpha_d = q[6:], qd[6:]
         excess = jnp.maximum(alpha - self._joint_hi, 0.0) + jnp.minimum(
@@ -245,11 +258,16 @@ class MaAnt:
         )
         limit_tau = -_LIMIT_KP * excess - _LIMIT_KD * alpha_d * (excess != 0.0)
         limits = jnp.concatenate([jnp.zeros(6), limit_tau])
-        rhs = (
-            tau + self._contact_force(q, qd) + damping + limits
-            - coriolis + dT_dq - dV_dq
+        applied = tau + self._contact_force(q, qd) + damping + limits
+        return newton_accel(
+            self._points,
+            self._point_masses,
+            self._armature_diag(),
+            self.gravity,
+            q,
+            qd,
+            applied,
         )
-        return jnp.linalg.solve(M, rhs)
 
     def _integrate(self, q: jnp.ndarray, qd: jnp.ndarray, tau: jnp.ndarray):
         h = _DT / _SUBSTEPS

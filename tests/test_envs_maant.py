@@ -97,6 +97,37 @@ def test_ballistic_com_parabola_3d():
     assert abs(e1 - e0) / abs(e0) < 1e-4  # energy conserved through RK4
 
 
+def test_newton_accel_matches_lagrangian():
+    """The production Newton-d'Alembert accel (pointcloud3d.newton_accel) must
+    equal the Euler-Lagrange reference built from the energies by autodiff —
+    the two are algebraically identical for point-cloud bodies + armature."""
+    env = MaAnt()
+    state, _ = env.reset(jax.random.PRNGKey(5))
+    q = state.q.at[2].add(0.3)  # some contact, some flight
+    qd = 0.5 * jax.random.normal(jax.random.PRNGKey(6), (14,))
+    tau = 0.7 * jax.random.normal(jax.random.PRNGKey(8), (14,))
+
+    got = env._accel(q, qd, tau)
+
+    # reference path: hessian mass matrix + Coriolis/energy gradients
+    M = jax.hessian(env._kinetic, argnums=1)(q, jnp.zeros_like(q))
+    momentum = lambda q_: jax.grad(env._kinetic, argnums=1)(q_, qd)
+    coriolis = jax.jacfwd(momentum)(q) @ qd
+    dT_dq = jax.grad(env._kinetic, argnums=0)(q, qd)
+    dV_dq = jax.grad(env._potential)(q)
+    damping = -env.joint_damping * jnp.concatenate([jnp.zeros(6), qd[6:]])
+    alpha, alpha_d = q[6:], qd[6:]
+    excess = jnp.maximum(alpha - env._joint_hi, 0.0) + jnp.minimum(
+        alpha - env._joint_lo, 0.0
+    )
+    limit_tau = -200.0 * excess - 5.0 * alpha_d * (excess != 0.0)
+    limits = jnp.concatenate([jnp.zeros(6), limit_tau])
+    rhs = tau + env._contact_force(q, qd) + damping + limits - coriolis + dT_dq - dV_dq
+    want = jnp.linalg.solve(M, rhs)
+
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_mass_matrix_positive_definite_even_tilted():
     """M(q) must stay positive definite everywhere a dead body can tumble —
     including near the pitch = pi/2 Euler singularity, where the rotational

@@ -258,6 +258,27 @@ def test_ff_isac_maant(fast_config_overrides):
     assert isinstance(perf, float)
 
 
+def test_ff_masac_mahumanoid(fast_config_overrides):
+    """MASAC on the heterogeneous humanoid (9|8 padded split): exercises the
+    masked/padded action column through the CTDE joint-action critic."""
+    perf = _run(
+        "sac.ff_masac",
+        "default_ff_masac",
+        fast_config_overrides
+        + [
+            "env=mahumanoid",
+            "env.kwargs.time_limit=16",
+            "system.num_updates=16",
+            "system.rollout_length=2",
+            "system.buffer_size=128",
+            "system.explore_steps=8",
+            "system.batch_size=4",
+            "system.epochs=2",
+        ],
+    )
+    assert isinstance(perf, float)
+
+
 def test_ff_ippo_continuous_maswarm(fast_config_overrides):
     """PPO with the continuous tanh-Normal head (network=continuous_mlp) end-to-end —
     exercises TanhNormal.sample_from_noise in the hoisted-RNG rollout."""
