@@ -52,7 +52,12 @@ from mava_tpu.types import ExperimentOutput, MarlEnv
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.timestep_checker import check_total_timesteps
-from mava_tpu.utils.training import make_learning_rate, make_optimizer
+from mava_tpu.utils.training import (
+    make_learning_rate,
+    make_optimizer,
+    make_swept_optimizer,
+    set_peak_lr,
+)
 
 
 def _put(tree: Any, mesh, spec: P) -> Any:
@@ -67,8 +72,16 @@ def learner_setup(
     mesh,
     num_seeds: int,
     centralised_critic: bool = False,
+    sweep_lrs=None,
 ) -> Tuple[Any, Any, LearnerState]:
-    """Stock ff-IPPO learner with a leading seed axis on the whole learner state."""
+    """Stock ff-IPPO learner with a leading seed axis on the whole learner state.
+
+    With `sweep_lrs` (array of `num_seeds` learning rates), the batch axis sweeps
+    HYPERPARAMETERS instead of just rng: the optimizer becomes
+    `make_swept_optimizer` (lr read from optimizer state, identical Adam math)
+    and entry i trains at `sweep_lrs[i]` for both actor and critic — N learning
+    rates in one compiled program (see ff_ippo_vmap_sweep.py).
+    """
     n_devices = num_learner_devices(mesh)
     config.system.num_agents = env.num_agents
 
@@ -78,29 +91,48 @@ def learner_setup(
     actor_network = Actor(torso=actor_torso, action_head=action_head)
     critic_network = Critic(torso=critic_torso, centralised_critic=centralised_critic)
 
-    actor_optim = make_optimizer(
-        make_learning_rate(config.system.actor_lr, config), config.system.max_grad_norm
-    )
-    critic_optim = make_optimizer(
-        make_learning_rate(config.system.critic_lr, config), config.system.max_grad_norm
-    )
+    if sweep_lrs is None:
+        actor_optim = make_optimizer(
+            make_learning_rate(config.system.actor_lr, config),
+            config.system.max_grad_norm,
+        )
+        critic_optim = make_optimizer(
+            make_learning_rate(config.system.critic_lr, config),
+            config.system.max_grad_norm,
+        )
+    else:
+        actor_optim = make_swept_optimizer(config, config.system.max_grad_norm)
+        critic_optim = make_swept_optimizer(config, config.system.max_grad_norm)
 
     obs = env.observation_spec().generate_value()
     init_x = jax.tree.map(lambda x: x[jnp.newaxis, ...], obs)
 
-    # Independent params per seed: vmap the initialisers over per-seed keys.
+    # Per-entry keys: independent for seed batching; IDENTICAL for an lr sweep
+    # (so entry-to-entry differences are attributable to the lr alone).
+    def entry_keys(k):
+        if sweep_lrs is None:
+            return jax.random.split(k, num_seeds)
+        return jnp.tile(k[None], (num_seeds, 1))
+
     key, actor_key, critic_key = jax.random.split(key, 3)
     actor_params = jax.vmap(actor_network.init, in_axes=(0, None))(
-        jax.random.split(actor_key, num_seeds), init_x
+        entry_keys(actor_key), init_x
     )
     critic_params = jax.vmap(critic_network.init, in_axes=(0, None))(
-        jax.random.split(critic_key, num_seeds), init_x
+        entry_keys(critic_key), init_x
     )
     params = Params(actor_params, critic_params)
     opt_states = OptStates(
         jax.vmap(actor_optim.init)(actor_params),
         jax.vmap(critic_optim.init)(critic_params),
     )
+    if sweep_lrs is not None:
+        lrs = jnp.asarray(sweep_lrs, jnp.float32)
+        assert lrs.shape == (num_seeds,), "one lr per sweep entry"
+        opt_states = OptStates(
+            set_peak_lr(opt_states.actor_opt_state, lrs),
+            set_peak_lr(opt_states.critic_opt_state, lrs),
+        )
 
     apply_fns = (actor_network.apply, critic_network.apply)
     update_fns = (actor_optim.update, critic_optim.update)
@@ -129,10 +161,16 @@ def learner_setup(
         donate=config.arch.get("donate_buffers", False),
     )
 
-    # (S, total_envs) independent env instances, sharded on the env axis.
+    # (S, total_envs) env instances, sharded on the env axis — independent draws
+    # per seed entry, or the same total_envs instances tiled for an lr sweep.
     key, env_key = jax.random.split(key)
     total_envs = n_devices * config.arch.num_envs
-    reset_keys = jax.random.split(env_key, num_seeds * total_envs)
+    if sweep_lrs is None:
+        reset_keys = jax.random.split(env_key, num_seeds * total_envs)
+    else:
+        reset_keys = jnp.tile(
+            jax.random.split(env_key, total_envs), (num_seeds, 1)
+        )
     env_states, timesteps = jax.vmap(env.reset)(reset_keys)
     env_states, timesteps = jax.tree.map(
         lambda x: x.reshape((num_seeds, total_envs) + x.shape[1:]),
@@ -142,9 +180,14 @@ def learner_setup(
     timesteps = _put(timesteps, mesh, P(None, DATA_AXIS))
 
     key, step_key = jax.random.split(key)
-    step_keys = jax.random.split(step_key, num_seeds * n_devices).reshape(
-        num_seeds, n_devices, -1
-    )
+    if sweep_lrs is None:
+        step_keys = jax.random.split(step_key, num_seeds * n_devices).reshape(
+            num_seeds, n_devices, -1
+        )
+    else:
+        step_keys = jnp.tile(
+            jax.random.split(step_key, n_devices)[None], (num_seeds, 1, 1)
+        )
 
     params = _put(params, mesh, P())
     opt_states = _put(opt_states, mesh, P())
@@ -154,19 +197,24 @@ def learner_setup(
     return learn, actor_network, init_state
 
 
-def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
+def run_experiment(
+    _config: Config, centralised_critic: bool = False, sweep_lrs=None
+) -> float:
     config = copy.deepcopy(_config)
 
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
     config.arch.n_devices = n_devices
-    num_seeds = int(config.system.get("num_seeds", 4))
+    if sweep_lrs is not None:
+        num_seeds = len(sweep_lrs)
+    else:
+        num_seeds = int(config.system.get("num_seeds", 4))
 
     env, eval_env = environments.make(config, add_global_state=centralised_critic)
     key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
 
     learn, actor_network, learner_state = learner_setup(
-        env, key, config, mesh, num_seeds, centralised_critic
+        env, key, config, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs
     )
 
     eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
@@ -227,10 +275,16 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         )
         learner_state = learner_output.learner_state
 
-    print(
-        "vmap-seeds final eval returns per seed: "
-        + ", ".join(f"{r:.2f}" for r in per_seed)
-    )
+    if sweep_lrs is not None:
+        print(
+            "vmap-sweep final eval returns per lr: "
+            + ", ".join(f"lr={lr:g}: {r:.2f}" for lr, r in zip(sweep_lrs, per_seed))
+        )
+    else:
+        print(
+            "vmap-seeds final eval returns per seed: "
+            + ", ".join(f"{r:.2f}" for r in per_seed)
+        )
     logger.stop()
     return float(seed_returns.mean())
 

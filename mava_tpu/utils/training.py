@@ -2,8 +2,10 @@
 
 from __future__ import annotations
 
-from typing import Callable, Union
+from typing import Any, Callable, NamedTuple, Union
 
+import chex
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -62,4 +64,71 @@ def make_optimizer(lr, max_grad_norm: float) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adam(lr, eps=1e-5),
+    )
+
+
+class SweptLrState(NamedTuple):
+    """State of `scale_by_swept_lr`. `steps` mirrors Adam's count; `peak_lr` is
+    the TRACED peak learning rate — set it per sweep entry with
+    `optax.tree_utils.tree_set(opt_state, peak_lr=...)` and `jax.vmap` the stock
+    update over a stacked state to train many learning rates in one program.
+    (Named `steps`, not `count`, so `entropy_coefficient`'s
+    `tree_get(opt_state, "count")` still resolves uniquely to Adam's counter.)"""
+
+    steps: chex.Array
+    peak_lr: chex.Array
+
+
+def scale_by_swept_lr(
+    decay: bool, total_updates: int
+) -> optax.GradientTransformation:
+    """Final-scale step of Adam with the peak lr read from STATE instead of a
+    Python closure. Bit-compatible with optax's `scale(-lr)` (constant lr) and
+    `scale_by_schedule` over `make_learning_rate_schedule` (decay): the same
+    `frac`/multiply sequence, so a swept entry reproduces the stock optimizer's
+    float-for-float update stream (tested in tests/test_vmap_sweep.py)."""
+
+    def init_fn(params):
+        del params
+        return SweptLrState(
+            steps=jnp.zeros([], jnp.int32), peak_lr=jnp.zeros([], jnp.float32)
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        if decay:
+            frac = 1.0 - state.steps / total_updates
+            lr = state.peak_lr * frac
+        else:
+            lr = state.peak_lr
+        updates = jax.tree.map(lambda u: u * -lr, updates)
+        return updates, SweptLrState(steps=state.steps + 1, peak_lr=state.peak_lr)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_swept_optimizer(config, max_grad_norm: float) -> optax.GradientTransformation:
+    """`make_optimizer` with the lr moved into optimizer state: clip →
+    scale_by_adam(eps=1e-5) → scale_by_swept_lr. `optax.adam(lr)` IS
+    `scale_by_adam` followed by a `-lr` scale, so the math is identical — the
+    peak just arrives via `set_peak_lr` rather than a closure, which makes it a
+    legal vmap axis for one-program hyperparameter sweeps."""
+    decay = bool(config.system.get("decay_learning_rates", False))
+    total_updates = (
+        config.system.ppo_epochs
+        * config.system.num_minibatches
+        * config.system.num_updates
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.scale_by_adam(eps=1e-5),
+        scale_by_swept_lr(decay, total_updates),
+    )
+
+
+def set_peak_lr(opt_state, peak_lr) -> Any:
+    """Return `opt_state` with its SweptLrState.peak_lr leaf replaced (shape
+    must match — scalar for one entry, (S,) for a vmapped stack)."""
+    return optax.tree_utils.tree_set(
+        opt_state, peak_lr=jnp.asarray(peak_lr, jnp.float32)
     )

@@ -1,0 +1,148 @@
+"""Equivalence of the vmapped lr-sweep learner vs stock learners at each lr.
+
+Two claims (CLAUDE.md invariant: perf transformations are distribution-
+preserving, with tests):
+
+1. `make_swept_optimizer` + `set_peak_lr` IS the stock `make_optimizer` — same
+   clipped-Adam update stream, constant and decayed — the lr just lives in
+   optimizer state instead of a closure (bitwise on synthetic gradients).
+2. Entry i of the batched sweep program (`ff_ippo_vmap_sweep`) matches the
+   stock ff-IPPO learner configured at `sweep_lrs[i]` and started from the
+   same initial state (tight tolerance: vmap batches the matmuls, so float
+   accumulation order differs in the last bits).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from mava_tpu import envs as environments
+from mava_tpu.parallel import DATA_AXIS, make_mesh, num_learner_devices
+from mava_tpu.systems.ppo import ff_ippo
+from mava_tpu.systems.ppo.types import LearnerState
+from mava_tpu.utils.config import Config, load_config
+from mava_tpu.utils.training import (
+    make_learning_rate,
+    make_optimizer,
+    make_swept_optimizer,
+    set_peak_lr,
+)
+
+
+def _toy_config(decay: bool) -> Config:
+    return Config.from_dict(
+        {
+            "system": {
+                "ppo_epochs": 2,
+                "num_minibatches": 2,
+                "num_updates": 3,
+                "decay_learning_rates": decay,
+            }
+        }
+    )
+
+
+def test_swept_optimizer_bitwise_matches_stock():
+    params = {"w": jnp.arange(6, dtype=jnp.float32).reshape(2, 3) / 7.0}
+    grads_seq = [
+        {"w": jnp.sin(jnp.arange(6, dtype=jnp.float32).reshape(2, 3) + t)}
+        for t in range(5)
+    ]
+    for decay in (False, True):
+        cfg = _toy_config(decay)
+        for lr in (2.5e-4, 1e-3):
+            stock = make_optimizer(make_learning_rate(lr, cfg), 0.5)
+            swept = make_swept_optimizer(cfg, 0.5)
+            p_a, s_a = params, stock.init(params)
+            p_b, s_b = params, set_peak_lr(swept.init(params), lr)
+            for g in grads_seq:
+                u_a, s_a = stock.update(g, s_a, p_a)
+                p_a = jax.tree.map(lambda p, u: p + u, p_a, u_a)
+                u_b, s_b = swept.update(g, s_b, p_b)
+                p_b = jax.tree.map(lambda p, u: p + u, p_b, u_b)
+            np.testing.assert_array_equal(
+                np.asarray(p_a["w"]),
+                np.asarray(p_b["w"]),
+                err_msg=f"decay={decay} lr={lr}",
+            )
+
+
+def test_vmap_sweep_entry_matches_stock_learner_at_that_lr():
+    from mava_tpu.advanced_usage import ff_ippo_vmap_seeds as vs
+
+    overrides = [
+        "env.kwargs.time_limit=8",
+        "arch.num_envs=2",
+        "system.rollout_length=4",
+        "system.num_updates=1",
+        "system.ppo_epochs=1",
+        "system.num_minibatches=2",
+        "logger.use_console=False",
+    ]
+    cfg = load_config("default_ff_ippo", overrides)
+    mesh = make_mesh()
+    n_devices = num_learner_devices(mesh)
+    cfg.arch.n_devices = n_devices
+    cfg.system.num_updates_per_eval = 1
+    sweep_lrs = [1e-4, 1e-3]
+
+    env, _ = environments.make(cfg)
+    key = jax.random.PRNGKey(0)
+    learn_vmap, _, state_vmap = vs.learner_setup(
+        env, key, cfg, mesh, len(sweep_lrs), sweep_lrs=sweep_lrs
+    )
+    out_vmap = jax.device_get(learn_vmap(state_vmap))
+    state_host = jax.device_get(state_vmap)
+
+    # Shared-init invariant: entries start from identical params/envs.
+    for a, b in zip(
+        jax.tree.leaves(jax.tree.map(lambda x: x[0], state_host.params)),
+        jax.tree.leaves(jax.tree.map(lambda x: x[1], state_host.params)),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    for s, lr in enumerate(sweep_lrs):
+        cfg_s = load_config(
+            "default_ff_ippo",
+            overrides + [f"system.actor_lr={lr}", f"system.critic_lr={lr}"],
+        )
+        cfg_s.arch.n_devices = n_devices
+        cfg_s.system.num_updates_per_eval = 1
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        learn_stock, _, stock_state = ff_ippo.learner_setup(
+            env, tuple(keys), cfg_s, mesh
+        )
+
+        # Start the stock learner from entry s's exact slice (params/envs/rng),
+        # keeping the stock optimizer's own fresh state (zeros, like the sweep's).
+        slice_s = jax.tree.map(lambda x: x[s], state_host)
+        state_s = LearnerState(
+            params=vs._put(slice_s.params, mesh, P()),
+            opt_states=stock_state.opt_states,
+            key=vs._put(slice_s.key, mesh, P(DATA_AXIS)),
+            env_state=vs._put(slice_s.env_state, mesh, P(DATA_AXIS)),
+            timestep=vs._put(slice_s.timestep, mesh, P(DATA_AXIS)),
+        )
+        out_s = jax.device_get(learn_stock(state_s))
+
+        got = jax.tree.map(lambda x: x[s], out_vmap.learner_state)
+        for field in ("params", "key", "env_state", "timestep"):
+            for g, w in zip(
+                jax.tree.leaves(getattr(got, field)),
+                jax.tree.leaves(getattr(out_s.learner_state, field)),
+            ):
+                g, w = np.asarray(g), np.asarray(w)
+                if np.issubdtype(g.dtype, np.floating):
+                    np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-6)
+                else:
+                    np.testing.assert_array_equal(g, w)
+
+    # The two entries must actually have DIVERGED (the lr is doing something).
+    p0 = jax.tree.leaves(
+        jax.tree.map(lambda x: x[0], out_vmap.learner_state.params)
+    )
+    p1 = jax.tree.leaves(
+        jax.tree.map(lambda x: x[1], out_vmap.learner_state.params)
+    )
+    assert any(not np.array_equal(a, b) for a, b in zip(p0, p1))
