@@ -139,18 +139,23 @@ class FusedGRUCell(nn.Module):
         return new_h, new_h
 
 
-class ScannedRNN(nn.Module):
-    """GRU scanned over the leading (time) axis with carry reset where `resets` is set.
+# Which ScannedRNN implementation to trace. "hoisted" (default) computes the
+# input projection for ALL timesteps as one wide MXU matmul before the serial
+# scan; "pallas" additionally runs the serial recurrence as ONE fused Pallas
+# kernel (ops/pallas_gru.py — weights + carry resident in VMEM for all T
+# steps); "cell" is the legacy per-step FusedGRUCell path (kept for A/B
+# profiling — scripts/profile_gru_ab.py — and as the monkeypatch point for the
+# flax variant). Equivalence is pinned in tests/test_recurrent.py and
+# tests/test_pallas_gru.py.
+GRU_IMPL = "hoisted"
 
-    Input x is a tuple (inputs, resets): inputs (T, B, A, F), resets (T, B, A). The
-    params are broadcast over time so one weight set serves the whole scan
-    (reference `networks.py:238-266`).
-    """
+
+class _CellScanRNN(nn.Module):
+    """Legacy ScannedRNN body: nn.scan over a per-step GRU cell (6 or 2 matmul
+    kernels per step depending on the cell). Superseded by the hoisted path in
+    `ScannedRNN` but kept selectable via `GRU_IMPL = "cell"`."""
 
     hidden_state_dim: int = 128
-    # When set, each step's output also includes its INPUT carry (pre-reset) — used
-    # by the post-rollout batched critic pass to reconstruct the per-step hidden
-    # states a fused in-rollout critic would have stored.
     collect_carries: bool = False
 
     @functools.partial(
@@ -167,13 +172,93 @@ class ScannedRNN(nn.Module):
         ins, resets = x
         rnn_state = jnp.where(
             resets[..., jnp.newaxis],
-            self.initialize_carry(ins.shape[:-1], self.hidden_state_dim),
+            jnp.zeros((*ins.shape[:-1], self.hidden_state_dim), jnp.float32),
             carry,
         )
         new_rnn_state, y = FusedGRUCell()(rnn_state, ins)
         if self.collect_carries:
             return new_rnn_state, (carry, y)
         return new_rnn_state, y
+
+
+class ScannedRNN(nn.Module):
+    """GRU scanned over the leading (time) axis with carry reset where `resets` is set.
+
+    Input x is a tuple (inputs, resets): inputs (T, B, A, F), resets (T, B, A). The
+    params are broadcast over time so one weight set serves the whole scan
+    (reference `networks.py:238-266`).
+
+    TPU structure: the input-side gate projection has no serial dependency, so it
+    is HOISTED out of the scan — one (T*B*A, F) @ (F, 3H) matmul feeds the whole
+    sequence (large, batched, MXU-shaped) and the serial chain left inside
+    `lax.scan` is only the recurrent h @ Wh matmul plus the gate arithmetic.
+    The reference's flax GRUCell re-issues all six gate projections inside every
+    scan step. Same math as FusedGRUCell (equivalence pinned in
+    tests/test_recurrent.py); set `GRU_IMPL = "cell"` for the legacy body.
+    """
+
+    hidden_state_dim: int = 128
+    # When set, each step's output also includes its INPUT carry (pre-reset) — used
+    # by the post-rollout batched critic pass to reconstruct the per-step hidden
+    # states a fused in-rollout critic would have stored.
+    collect_carries: bool = False
+
+    @nn.compact
+    def __call__(
+        self, carry: jnp.ndarray, x: Tuple[jnp.ndarray, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if GRU_IMPL == "cell":
+            return _CellScanRNN(self.hidden_state_dim, self.collect_carries)(carry, x)
+
+        ins, resets = x
+        hidden = self.hidden_state_dim
+        w_i = self.param(
+            "wi", nn.initializers.lecun_normal(), (ins.shape[-1], 3 * hidden)
+        )
+        b_i = self.param("bi", nn.initializers.zeros_init(), (3 * hidden,))
+        w_h = self.param("wh", _blockwise_orthogonal, (hidden, 3 * hidden))
+        b_hn = self.param("bhn", nn.initializers.zeros_init(), (hidden,))
+
+        # One wide matmul for every timestep's input gates (T folds into batch).
+        gates_i = ins @ w_i + b_i
+
+        collect = self.collect_carries
+
+        # The kernel pays off on real sequences (training/BPTT); T==1 calls
+        # (the per-env-step rollout path) stay on the plain scan — one pallas
+        # dispatch per rollout step would add latency where none is needed.
+        if GRU_IMPL == "pallas" and ins.shape[0] > 1:
+            from mava_tpu.ops.pallas_gru import gru_sequence
+
+            t_len = ins.shape[0]
+            lead = ins.shape[1:-1]  # e.g. (B, A)
+            gi = gates_i.reshape(t_len, -1, 3 * hidden)
+            keep = jnp.broadcast_to(
+                1.0 - resets.reshape(t_len, -1, 1).astype(jnp.float32),
+                gi.shape[:2] + (hidden,),
+            )
+            h0 = carry.reshape(-1, hidden)
+            hs = gru_sequence(gi, keep, h0, w_h, b_hn)
+            final_h = hs[-1].reshape(*lead, hidden)
+            ys = hs.reshape(t_len, *lead, hidden)
+            if collect:
+                carries = jnp.concatenate([h0[jnp.newaxis], hs[:-1]], axis=0)
+                return final_h, (carries.reshape(t_len, *lead, hidden), ys)
+            return final_h, ys
+
+        def step(h_prev, inp):
+            g_t, reset_t = inp
+            h = jnp.where(reset_t[..., jnp.newaxis], 0.0, h_prev)
+            xr, xz, xn = jnp.split(g_t, 3, axis=-1)
+            hr, hz, hn = jnp.split(h @ w_h, 3, axis=-1)
+            r = jax.nn.sigmoid(xr + hr)
+            z = jax.nn.sigmoid(xz + hz)
+            n = jnp.tanh(xn + r * (hn + b_hn))
+            new_h = (1.0 - z) * n + z * h
+            return new_h, ((h_prev, new_h) if collect else new_h)
+
+        final_h, ys = jax.lax.scan(step, carry, (gates_i, resets))
+        return final_h, ys
 
     @staticmethod
     def initialize_carry(batch_shape: Sequence[int], hidden_size: int) -> jnp.ndarray:

@@ -1,11 +1,21 @@
-"""A/B the FusedGRUCell against flax's GRUCell on the REAL rec-IPPO compiled step.
+"""A/B/C the GRU implementations on the REAL rec-IPPO compiled step.
 
-Both variants are built and timed in ONE process (CLAUDE.md timing rule: tunnel
+Variants, all built and timed in ONE process (CLAUDE.md timing rule: tunnel
 timings jitter up to 2x across processes) at the recorded SMAX operating point
-(3s5z, 64 envs, chunk 16 — BASELINE.md rec-IPPO row). The fused cell issues 2
-wide matmuls per GRU step instead of flax's 6 Dense kernels; the rollout/BPTT
-scans are latency-bound (docs/tpu_performance.md §7) so the expected win is
-proportional to the per-step kernel-count cut, not flops.
+(3s5z, 64 envs, chunk 16 — BASELINE.md rec-IPPO row):
+
+- pallas: hoisted input projection + the serial recurrence fused into ONE
+  Pallas kernel (ops/pallas_gru.py — Wh and the carry resident in VMEM for
+  all T steps).
+- hoisted: the default ScannedRNN — input gate projection lifted OUT of the
+  scan as one wide (T*B*A, F) @ (F, 3H) matmul; the serial chain carries only
+  h @ Wh + gate arithmetic.
+- cell: legacy per-step FusedGRUCell (2 wide matmuls per GRU step).
+- flax: stock flax.linen.GRUCell (6 Dense kernels per step — the reference's
+  structure, `mava/networks/networks.py` RNN torso).
+
+The rollout/BPTT scans are latency-bound (docs/tpu_performance.md §7) so the
+expected win is proportional to the per-step kernel-count cut, not flops.
 
 Usage: python scripts/profile_gru_ab.py [timed_calls]
 """
@@ -75,17 +85,34 @@ def timed(learn, state, n):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     results = {}
-    for name in ("fused", "flax"):
+    for name in ("pallas", "hoisted", "cell", "flax"):
+        actor_critic.GRU_IMPL = name if name in ("pallas", "hoisted") else "cell"
         if name == "flax":
-            actor_critic.FusedGRUCell = FlaxGRUAdapter  # monkeypatch for variant B
+            actor_critic.FusedGRUCell = FlaxGRUAdapter  # monkeypatch for variant C
         cfg = load_config("default_rec_ippo", list(OVERRIDES))
         learn, state = build(cfg)
         dt = timed(learn, state, n)
         steps = UPDATES_PER_CALL * cfg.system.rollout_length * cfg.arch.num_envs
         results[name] = {"s_per_call": dt, "steps_per_s": steps / dt}
         print(f"{name}: {dt*1e3:.1f} ms/call, {steps/dt:,.0f} env-steps/s", flush=True)
-    speedup = results["flax"]["s_per_call"] / results["fused"]["s_per_call"]
-    print(json.dumps({"gru_ab": results, "fused_speedup": round(speedup, 3)}))
+    print(
+        json.dumps(
+            {
+                "gru_ab": results,
+                "pallas_vs_hoisted": round(
+                    results["hoisted"]["s_per_call"]
+                    / results["pallas"]["s_per_call"],
+                    3,
+                ),
+                "hoisted_vs_cell": round(
+                    results["cell"]["s_per_call"] / results["hoisted"]["s_per_call"], 3
+                ),
+                "hoisted_vs_flax": round(
+                    results["flax"]["s_per_call"] / results["hoisted"]["s_per_call"], 3
+                ),
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

@@ -201,3 +201,110 @@ def test_fused_gru_recurrent_init_blocks_are_orthogonal():
         np.testing.assert_allclose(
             block.T @ block, jnp.eye(hidden), rtol=1e-5, atol=1e-5
         )
+
+
+def test_hoisted_scan_matches_legacy_cell_scan():
+    """The hoisted ScannedRNN (input projection lifted out of the scan as one
+    wide matmul) computes the same function — outputs, final carry, collected
+    carries AND gradients — as the legacy per-step FusedGRUCell scan, given the
+    same weights (distribution-preserving perf transformation, CLAUDE.md
+    invariant)."""
+    from mava_tpu.networks import actor_critic
+
+    T, B, A, F, H = 6, 3, 2, 5, 8
+    xs = jax.random.normal(jax.random.PRNGKey(0), (T, B, A, F))
+    resets = jax.random.bernoulli(jax.random.PRNGKey(1), 0.3, (T, B, A))
+    carry0 = ScannedRNN.initialize_carry((B, A), H)
+
+    for collect in (False, True):
+        hoisted = ScannedRNN(hidden_state_dim=H, collect_carries=collect)
+        params_h = hoisted.init(jax.random.PRNGKey(2), carry0, (xs, resets))
+
+        assert actor_critic.GRU_IMPL == "hoisted"
+        actor_critic.GRU_IMPL = "cell"
+        try:
+            legacy = ScannedRNN(hidden_state_dim=H, collect_carries=collect)
+            params_c = legacy.init(jax.random.PRNGKey(3), carry0, (xs, resets))
+            # Graft the hoisted weights into the legacy tree by param name
+            # (wi/bi/wh/bhn — same leaves, different nesting).
+            by_name = {
+                path[-1].key: leaf
+                for path, leaf in jax.tree_util.tree_flatten_with_path(params_h)[0]
+            }
+            params_c = jax.tree_util.tree_map_with_path(
+                lambda path, leaf: by_name[path[-1].key], params_c
+            )
+
+            def loss_c(p):
+                final, ys = legacy.apply(p, carry0, (xs, resets))
+                return jnp.sum(final**2) + sum(jnp.sum(y**2) for y in jax.tree.leaves(ys))
+
+            out_c = legacy.apply(params_c, carry0, (xs, resets))
+            grad_c = jax.grad(loss_c)(params_c)
+        finally:
+            actor_critic.GRU_IMPL = "hoisted"
+
+        def loss_h(p):
+            final, ys = hoisted.apply(p, carry0, (xs, resets))
+            return jnp.sum(final**2) + sum(jnp.sum(y**2) for y in jax.tree.leaves(ys))
+
+        out_h = hoisted.apply(params_h, carry0, (xs, resets))
+        grad_h = jax.grad(loss_h)(params_h)
+
+        for g, w in zip(jax.tree.leaves(out_h), jax.tree.leaves(out_c)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+            )
+        grad_h_by_name = {
+            path[-1].key: leaf
+            for path, leaf in jax.tree_util.tree_flatten_with_path(grad_h)[0]
+        }
+        for path, leaf in jax.tree_util.tree_flatten_with_path(grad_c)[0]:
+            np.testing.assert_allclose(
+                np.asarray(grad_h_by_name[path[-1].key]),
+                np.asarray(leaf),
+                rtol=1e-5,
+                atol=1e-6,
+                err_msg=f"grad mismatch for {path[-1].key} (collect={collect})",
+            )
+
+
+def test_pallas_impl_matches_hoisted_through_scannedrnn():
+    """GRU_IMPL='pallas' (fused Pallas recurrence, interpret mode on CPU) is a
+    drop-in for the hoisted scan: same param tree, same outputs/carries/grads."""
+    from mava_tpu.networks import actor_critic
+
+    T, B, A, F, H = 6, 3, 2, 5, 8
+    xs = jax.random.normal(jax.random.PRNGKey(7), (T, B, A, F))
+    resets = jax.random.bernoulli(jax.random.PRNGKey(8), 0.3, (T, B, A))
+    carry0 = ScannedRNN.initialize_carry((B, A), H)
+
+    for collect in (False, True):
+        rnn = ScannedRNN(hidden_state_dim=H, collect_carries=collect)
+        params = rnn.init(jax.random.PRNGKey(9), carry0, (xs, resets))
+
+        def loss(p):
+            final, ys = rnn.apply(p, carry0, (xs, resets))
+            return jnp.sum(final**2) + sum(
+                jnp.sum(y**2) for y in jax.tree.leaves(ys)
+            )
+
+        out_h = rnn.apply(params, carry0, (xs, resets))
+        grad_h = jax.grad(loss)(params)
+
+        assert actor_critic.GRU_IMPL == "hoisted"
+        actor_critic.GRU_IMPL = "pallas"
+        try:
+            out_p = rnn.apply(params, carry0, (xs, resets))
+            grad_p = jax.grad(loss)(params)
+        finally:
+            actor_critic.GRU_IMPL = "hoisted"
+
+        for g, w in zip(jax.tree.leaves(out_p), jax.tree.leaves(out_h)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+            )
+        for g, w in zip(jax.tree.leaves(grad_p), jax.tree.leaves(grad_h)):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
+            )
