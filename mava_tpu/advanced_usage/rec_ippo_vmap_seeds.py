@@ -47,7 +47,12 @@ from mava_tpu.types import ExperimentOutput, MarlEnv
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.timestep_checker import check_total_timesteps
-from mava_tpu.utils.training import make_learning_rate, make_optimizer
+from mava_tpu.utils.training import (
+    make_learning_rate,
+    make_optimizer,
+    make_swept_optimizer,
+    set_peak_lr,
+)
 
 
 def _put(tree: Any, mesh, spec: P) -> Any:
@@ -62,7 +67,11 @@ def learner_setup(
     mesh,
     num_seeds: int,
     centralised_critic: bool = False,
+    sweep_lrs=None,
 ) -> Tuple[Any, Any, RNNLearnerState]:
+    """Stock rec-IPPO learner with a leading batch axis over seeds — or, with
+    `sweep_lrs`, over LEARNING RATES (shared init/env seeds, swept optimizer;
+    see ff_ippo_vmap_seeds.learner_setup for the mechanism)."""
     n_devices = num_learner_devices(mesh)
     num_agents = env.num_agents
     config.system.num_agents = num_agents
@@ -82,12 +91,25 @@ def learner_setup(
     critic_network = Critic(**critic_kwargs)
     critic_carry_network = Critic(**critic_kwargs, collect_carries=True)
 
-    actor_optim = make_optimizer(
-        make_learning_rate(config.system.actor_lr, config), config.system.max_grad_norm
-    )
-    critic_optim = make_optimizer(
-        make_learning_rate(config.system.critic_lr, config), config.system.max_grad_norm
-    )
+    if sweep_lrs is None:
+        actor_optim = make_optimizer(
+            make_learning_rate(config.system.actor_lr, config),
+            config.system.max_grad_norm,
+        )
+        critic_optim = make_optimizer(
+            make_learning_rate(config.system.critic_lr, config),
+            config.system.max_grad_norm,
+        )
+    else:
+        actor_optim = make_swept_optimizer(config, config.system.max_grad_norm)
+        critic_optim = make_swept_optimizer(config, config.system.max_grad_norm)
+
+    def entry_keys(k):
+        # Independent per-seed keys; IDENTICAL keys for an lr sweep (the lr is
+        # the only thing that differs between entries).
+        if sweep_lrs is None:
+            return jax.random.split(k, num_seeds)
+        return jnp.tile(k[None], (num_seeds, 1))
 
     init_obs = env.observation_spec().generate_value()
     init_obs = jax.tree.map(
@@ -103,16 +125,23 @@ def learner_setup(
 
     key, actor_key, critic_key = jax.random.split(key, 3)
     actor_params = jax.vmap(actor_network.init, in_axes=(0, None, None))(
-        jax.random.split(actor_key, num_seeds), init_hstate, init_x
+        entry_keys(actor_key), init_hstate, init_x
     )
     critic_params = jax.vmap(critic_network.init, in_axes=(0, None, None))(
-        jax.random.split(critic_key, num_seeds), init_hstate, init_x
+        entry_keys(critic_key), init_hstate, init_x
     )
     params = Params(actor_params, critic_params)
     opt_states = OptStates(
         jax.vmap(actor_optim.init)(actor_params),
         jax.vmap(critic_optim.init)(critic_params),
     )
+    if sweep_lrs is not None:
+        lrs = jnp.asarray(sweep_lrs, jnp.float32)
+        assert lrs.shape == (num_seeds,), "one lr per sweep entry"
+        opt_states = OptStates(
+            set_peak_lr(opt_states.actor_opt_state, lrs),
+            set_peak_lr(opt_states.critic_opt_state, lrs),
+        )
 
     apply_fns = (
         actor_network.apply, critic_network.apply, critic_carry_network.apply
@@ -145,7 +174,10 @@ def learner_setup(
 
     key, env_key = jax.random.split(key)
     total_envs = n_devices * config.arch.num_envs
-    reset_keys = jax.random.split(env_key, num_seeds * total_envs)
+    if sweep_lrs is None:
+        reset_keys = jax.random.split(env_key, num_seeds * total_envs)
+    else:
+        reset_keys = jnp.tile(jax.random.split(env_key, total_envs), (num_seeds, 1))
     env_states, timesteps = jax.vmap(env.reset)(reset_keys)
     env_states, timesteps = jax.tree.map(
         lambda x: x.reshape((num_seeds, total_envs) + x.shape[1:]),
@@ -165,9 +197,14 @@ def learner_setup(
     )
 
     key, step_key = jax.random.split(key)
-    step_keys = jax.random.split(step_key, num_seeds * n_devices).reshape(
-        num_seeds, n_devices, -1
-    )
+    if sweep_lrs is None:
+        step_keys = jax.random.split(step_key, num_seeds * n_devices).reshape(
+            num_seeds, n_devices, -1
+        )
+    else:
+        step_keys = jnp.tile(
+            jax.random.split(step_key, n_devices)[None], (num_seeds, 1, 1)
+        )
 
     init_state = RNNLearnerState(
         params=_put(params, mesh, P()),
@@ -181,13 +218,18 @@ def learner_setup(
     return learn, actor_network, init_state
 
 
-def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
+def run_experiment(
+    _config: Config, centralised_critic: bool = False, sweep_lrs=None
+) -> float:
     config = copy.deepcopy(_config)
 
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
     config.arch.n_devices = n_devices
-    num_seeds = int(config.system.get("num_seeds", 4))
+    if sweep_lrs is not None:
+        num_seeds = len(sweep_lrs)
+    else:
+        num_seeds = int(config.system.get("num_seeds", 4))
 
     if config.system.get("recurrent_chunk_size") is None:
         config.system.recurrent_chunk_size = config.system.rollout_length
@@ -196,7 +238,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
     key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
 
     learn, actor_network, learner_state = learner_setup(
-        env, key, config, mesh, num_seeds, centralised_critic
+        env, key, config, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs
     )
 
     eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)
@@ -259,10 +301,16 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         )
         learner_state = learner_output.learner_state
 
-    print(
-        "rec vmap-seeds final eval returns per seed: "
-        + ", ".join(f"{r:.2f}" for r in per_seed)
-    )
+    if sweep_lrs is not None:
+        print(
+            "rec vmap-sweep final eval returns per lr: "
+            + ", ".join(f"lr={lr:g}: {r:.2f}" for lr, r in zip(sweep_lrs, per_seed))
+        )
+    else:
+        print(
+            "rec vmap-seeds final eval returns per seed: "
+            + ", ".join(f"{r:.2f}" for r in per_seed)
+        )
     logger.stop()
     return float(seed_returns.mean())
 

@@ -146,3 +146,75 @@ def test_vmap_sweep_entry_matches_stock_learner_at_that_lr():
         jax.tree.map(lambda x: x[1], out_vmap.learner_state.params)
     )
     assert any(not np.array_equal(a, b) for a, b in zip(p0, p1))
+
+
+def test_rec_vmap_sweep_entry_matches_stock_learner_at_that_lr():
+    """Recurrent counterpart: entry i of the batched rec-IPPO sweep matches the
+    stock rec-IPPO learner configured at sweep_lrs[i], started from entry i's
+    initial state (params/envs/rng/hstates)."""
+    from mava_tpu.advanced_usage import rec_ippo_vmap_seeds as vs
+    from mava_tpu.systems.ppo import rec_ippo
+    from mava_tpu.systems.ppo.types import RNNLearnerState
+
+    overrides = [
+        "env.kwargs.time_limit=8",
+        "network=rnn",
+        "arch.num_envs=2",
+        "system.rollout_length=4",
+        "system.num_updates=1",
+        "system.ppo_epochs=1",
+        "system.num_minibatches=1",
+        "logger.use_console=False",
+    ]
+    cfg = load_config("default_rec_ippo", overrides)
+    mesh = make_mesh()
+    n_devices = num_learner_devices(mesh)
+    cfg.arch.n_devices = n_devices
+    cfg.system.num_updates_per_eval = 1
+    cfg.system.recurrent_chunk_size = cfg.system.rollout_length
+    sweep_lrs = [1e-4, 1e-3]
+
+    env, _ = environments.make(cfg)
+    key = jax.random.PRNGKey(0)
+    learn_vmap, _, state_vmap = vs.learner_setup(
+        env, key, cfg, mesh, len(sweep_lrs), sweep_lrs=sweep_lrs
+    )
+    out_vmap = jax.device_get(learn_vmap(state_vmap))
+    state_host = jax.device_get(state_vmap)
+
+    for s, lr in enumerate(sweep_lrs):
+        cfg_s = load_config(
+            "default_rec_ippo",
+            overrides + [f"system.actor_lr={lr}", f"system.critic_lr={lr}"],
+        )
+        cfg_s.arch.n_devices = n_devices
+        cfg_s.system.num_updates_per_eval = 1
+        cfg_s.system.recurrent_chunk_size = cfg_s.system.rollout_length
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        learn_stock, _, stock_state = rec_ippo.learner_setup(
+            env, tuple(keys), cfg_s, mesh
+        )
+
+        slice_s = jax.tree.map(lambda x: x[s], state_host)
+        state_s = RNNLearnerState(
+            params=vs._put(slice_s.params, mesh, P()),
+            opt_states=stock_state.opt_states,
+            key=vs._put(slice_s.key, mesh, P(DATA_AXIS)),
+            env_state=vs._put(slice_s.env_state, mesh, P(DATA_AXIS)),
+            timestep=vs._put(slice_s.timestep, mesh, P(DATA_AXIS)),
+            dones=vs._put(slice_s.dones, mesh, P(DATA_AXIS)),
+            hstates=vs._put(slice_s.hstates, mesh, P(DATA_AXIS)),
+        )
+        out_s = jax.device_get(learn_stock(state_s))
+
+        got = jax.tree.map(lambda x: x[s], out_vmap.learner_state)
+        for field in ("params", "key", "env_state", "timestep", "dones", "hstates"):
+            for g, w in zip(
+                jax.tree.leaves(getattr(got, field)),
+                jax.tree.leaves(getattr(out_s.learner_state, field)),
+            ):
+                g, w = np.asarray(g), np.asarray(w)
+                if np.issubdtype(g.dtype, np.floating):
+                    np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-6)
+                else:
+                    np.testing.assert_array_equal(g, w)
