@@ -399,6 +399,23 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         env, (key, actor_net_key, critic_net_key), config, mesh, centralised_critic
     )
 
+    # Exact-state resume (beyond the reference's params-level resume): restore
+    # the whole learner state — optimizer/rng/env state included — from a
+    # checkpoint written with `save_full_state=True`, and continue bit-exactly.
+    start_t = 0
+    if config.logger.checkpointing.get("load_full_state", False):
+        loader = Checkpointer(
+            model_name=config.logger.system_name,
+            **config.logger.checkpointing.load_args,
+        )
+        template = jax.device_get(learner_state)
+        restored = loader.restore_full_state(template)
+        start_t = int(loader._manager.latest_step())
+        learner_state = jax.tree.map(
+            lambda t, x: jax.device_put(x, t.sharding), learner_state, restored
+        )
+        loader.close()
+
     eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
     evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
 
@@ -436,7 +453,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
             jax.block_until_ready(learner_output)
 
         elapsed_time = time.time() - start_time
-        t = int(steps_per_rollout * (eval_step + 1))
+        t = start_t + int(steps_per_rollout * (eval_step + 1))
         episode_metrics, ep_completed = get_final_step_metrics(
             learner_output.episode_metrics
         )
@@ -461,6 +478,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
                     lambda x: jax.device_get(x), learner_output.learner_state
                 ),
                 episode_return=episode_return,
+                full_state=config.logger.checkpointing.get("save_full_state", False),
             )
 
         if config.arch.absolute_metric and max_episode_return <= episode_return:
@@ -477,7 +495,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         )
         key_e, eval_key = jax.random.split(key_e)
         eval_metrics = abs_metric_evaluator(best_params, eval_key, {})
-        t = int(steps_per_rollout * (eval_step + 1))
+        t = start_t + int(steps_per_rollout * (eval_step + 1))
         logger.log(eval_metrics, t, eval_step, LogEvent.ABSOLUTE)
 
     logger.stop()

@@ -73,26 +73,38 @@ class Checkpointer:
         timestep: int,
         unreplicated_learner_state: Any,
         episode_return: float = 0.0,
+        full_state: bool = False,
     ) -> bool:
         """Save the learner state at an env-step, tracked by episode return.
 
-        What is persisted is {params, hstates?} — the same subset the reference's
-        restore path actually consumes (`checkpointing.py:428-430` resume is
-        params-level, not exact-state).
+        By default what is persisted is {params, hstates?} — the same subset the
+        reference's restore path actually consumes (`checkpointing.py:428-430`
+        resume is params-level, not exact-state). With `full_state=True` the
+        ENTIRE learner state (params, optimizer states, rng keys, env states,
+        replay buffers, ...) is additionally saved as a second orbax item,
+        enabling bit-exact resume via `restore_full_state` — a capability the
+        reference does not have (its resume restarts envs/optimizer from
+        scratch).
         """
         item = {"params": unreplicated_learner_state.params}
         hstates = getattr(unreplicated_learner_state, "hstates", None)
         if hstates is not None:
             item["hstates"] = hstates
+        if full_state:
+            args = ocp.args.Composite(
+                model=ocp.args.StandardSave(item),
+                state=ocp.args.StandardSave(unreplicated_learner_state),
+            )
+        else:
+            args = ocp.args.StandardSave(item)
         saved = self._manager.save(
             step=timestep,
-            args=ocp.args.StandardSave(item),
+            args=args,
             metrics={"episode_return": float(np.asarray(episode_return))},
         )
         return bool(saved)
 
-    def restore_state(self, template: Any, timestep: Optional[int] = None) -> Any:
-        """Restore a full learner-state pytree shaped like `template`."""
+    def _check_version_and_step(self, timestep: Optional[int]) -> int:
         root_metadata = self._manager.metadata()
         metadata = getattr(root_metadata, "custom_metadata", None) or {}
         version = float(metadata.get("checkpointer_version", CHECKPOINTER_VERSION))
@@ -100,9 +112,34 @@ class Checkpointer:
             f"Incompatible checkpoint major version: saved {version}, "
             f"current {CHECKPOINTER_VERSION}"
         )
-        step = timestep if timestep is not None else self._manager.latest_step()
+        return timestep if timestep is not None else self._manager.latest_step()
+
+    def restore_state(self, template: Any, timestep: Optional[int] = None) -> Any:
+        """Restore the {params, hstates?} item shaped like `template` (handles
+        both the bare layout and the composite layout written by
+        `save(full_state=True)`)."""
+        step = self._check_version_and_step(timestep)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        return self._manager.restore(step, args=ocp.args.StandardRestore(abstract))
+        try:
+            return self._manager.restore(step, args=ocp.args.StandardRestore(abstract))
+        except BaseException:
+            restored = self._manager.restore(
+                step, args=ocp.args.Composite(model=ocp.args.StandardRestore(abstract))
+            )
+            return restored["model"]
+
+    def restore_full_state(self, template: Any, timestep: Optional[int] = None) -> Any:
+        """Restore the ENTIRE learner state saved with `save(full_state=True)` —
+        optimizer states, rng keys, env states and replay buffers included, so a
+        resumed run continues bit-exactly (tested in tests/test_checkpointing.py).
+        `template` is a host-side pytree with the target structure/shapes/dtypes
+        (e.g. `jax.device_get(learner_state)`)."""
+        step = self._check_version_and_step(timestep)
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+        restored = self._manager.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore(abstract))
+        )
+        return restored["state"]
 
     def restore_params(
         self,
