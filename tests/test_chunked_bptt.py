@@ -6,8 +6,11 @@ over time-contiguous chunks (`rec_ippo.py` chunk reshape; reference
 properties pin the implementation:
 
 1. Forward equivalence at ANY chunk size: re-running each chunk from its stored
-   input carry reproduces the full-sequence outputs bit-exactly (the chunking only
-   truncates gradient flow, never changes the forward values).
+   input carry reproduces the full-sequence outputs (the chunking only truncates
+   gradient flow, never changes the forward values). Since the input-projection
+   hoist, the per-sequence `ins @ Wi` matmul tiles differently at different T, so
+   the match is last-bit-tolerance rather than bitwise — the same accepted
+   float-reassociation class as vmap batching (tests/test_vmap_seeds.py note).
 2. Gradient equivalence when chunk boundaries coincide with episode boundaries
    (done=True at each chunk's first step): the carry is reset inside the cell, so
    truncation is a no-op and the summed chunked gradients EXACTLY equal the
@@ -73,7 +76,9 @@ def test_chunked_forward_matches_full_any_dones():
     for c in range(T // CHUNK):
         sl = slice(c * CHUNK, (c + 1) * CHUNK)
         _, ys_chunk = rnn.apply(params, carries[c * CHUNK], (x[sl], dones[sl]))
-        np.testing.assert_array_equal(np.asarray(ys_full[sl]), np.asarray(ys_chunk))
+        np.testing.assert_allclose(
+            np.asarray(ys_full[sl]), np.asarray(ys_chunk), rtol=1e-5, atol=1e-6
+        )
 
 
 def test_chunked_grads_exact_when_boundaries_align_with_dones():
