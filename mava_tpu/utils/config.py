@@ -135,12 +135,38 @@ def _set_dotted(
 _cache_enabled = False
 
 
+def _host_cpu_fingerprint() -> str:
+    """Short hash of this host's CPU feature flags. XLA:CPU AOT executables
+    embed ISA features of the machine that COMPILED them; loading one on a host
+    with fewer features can SIGILL/segfault (the cpu_aot_loader warns exactly
+    this). Scoping the CPU cache per CPU-feature-set makes stale cross-host
+    entries unreachable instead of fatal."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.md5(flags.encode()).hexdigest()[:12]
+    except OSError:  # pragma: no cover - non-linux
+        pass
+    import platform
+
+    return hashlib.md5(platform.processor().encode()).hexdigest()[:12]
+
+
 def enable_persistent_compilation_cache() -> None:
     """Point JAX at an on-disk XLA compilation cache (idempotent).
 
     Large-env programs take minutes to compile through the TPU tunnel; the
     persistent cache makes every repeat spin-up (bench re-runs, CLI restarts,
     tests) near-instant. Opt out with MAVA_TPU_NO_COMPILATION_CACHE=1.
+
+    When the process has forced the CPU backend (tests, virtual meshes), the
+    cache lives in a per-CPU-fingerprint subdirectory — CPU AOT results are
+    host-ISA-specific and intermittently segfault if reused across machines.
+    TPU executables are host-independent, so the TPU cache dir stays stable.
     """
     global _cache_enabled
     if _cache_enabled or os.environ.get("MAVA_TPU_NO_COMPILATION_CACHE"):
@@ -151,6 +177,8 @@ def enable_persistent_compilation_cache() -> None:
         "MAVA_TPU_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "mava_tpu_xla"),
     )
+    if "cpu" in str(jax.config.jax_platforms or ""):
+        cache_dir = os.path.join(cache_dir, f"cpu-{_host_cpu_fingerprint()}")
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
