@@ -89,27 +89,29 @@ def main():
         actor_critic.GRU_IMPL = name if name in ("pallas", "hoisted") else "cell"
         if name == "flax":
             actor_critic.FusedGRUCell = FlaxGRUAdapter  # monkeypatch for variant C
-        cfg = load_config("default_rec_ippo", list(OVERRIDES))
-        learn, state = build(cfg)
-        dt = timed(learn, state, n)
+        try:
+            cfg = load_config("default_rec_ippo", list(OVERRIDES))
+            learn, state = build(cfg)
+            dt = timed(learn, state, n)
+        except Exception as e:  # a failing variant must not kill the A/B
+            results[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(f"{name}: FAILED ({type(e).__name__}: {e})", flush=True)
+            continue
         steps = UPDATES_PER_CALL * cfg.system.rollout_length * cfg.arch.num_envs
         results[name] = {"s_per_call": dt, "steps_per_s": steps / dt}
         print(f"{name}: {dt*1e3:.1f} ms/call, {steps/dt:,.0f} env-steps/s", flush=True)
+    def ratio(a: str, b: str):
+        if "s_per_call" in results.get(a, {}) and "s_per_call" in results.get(b, {}):
+            return round(results[a]["s_per_call"] / results[b]["s_per_call"], 3)
+        return None
+
     print(
         json.dumps(
             {
                 "gru_ab": results,
-                "pallas_vs_hoisted": round(
-                    results["hoisted"]["s_per_call"]
-                    / results["pallas"]["s_per_call"],
-                    3,
-                ),
-                "hoisted_vs_cell": round(
-                    results["cell"]["s_per_call"] / results["hoisted"]["s_per_call"], 3
-                ),
-                "hoisted_vs_flax": round(
-                    results["flax"]["s_per_call"] / results["hoisted"]["s_per_call"], 3
-                ),
+                "pallas_vs_hoisted": ratio("hoisted", "pallas"),
+                "hoisted_vs_cell": ratio("cell", "hoisted"),
+                "hoisted_vs_flax": ratio("flax", "hoisted"),
             }
         )
     )
