@@ -99,3 +99,28 @@ def test_vmap_over_sequence_batch():
     np.testing.assert_allclose(
         np.asarray(hs_v[1]), np.asarray(gru_sequence(*a1)), rtol=1e-6, atol=1e-6
     )
+
+
+def test_row_blocking_matches_single_block():
+    """Forcing multiple row blocks (row_block=8 on B=20 → 3 blocks with
+    padding) must reproduce the single-block kernel and its gradients —
+    the per-block carry chain and the cross-block dWh/db_hn accumulation
+    are exercised for real."""
+    gates_i, keep, h0, w_h, b_hn = _setup(T=5, B=20, H=8, seed=5)
+
+    hs_one = gru_sequence(gates_i, keep, h0, w_h, b_hn)
+    hs_blk = gru_sequence(gates_i, keep, h0, w_h, b_hn, 8)
+    np.testing.assert_allclose(
+        np.asarray(hs_blk), np.asarray(hs_one), rtol=1e-6, atol=1e-6
+    )
+
+    def loss(g, h, w, bb, rb):
+        hs = gru_sequence(g, keep, h, w, bb, rb)
+        return jnp.sum(jnp.cos(hs) * jnp.arange(1, hs.size + 1).reshape(hs.shape))
+
+    g_one = jax.grad(loss, argnums=(0, 1, 2, 3))(gates_i, h0, w_h, b_hn, None)
+    g_blk = jax.grad(loss, argnums=(0, 1, 2, 3))(gates_i, h0, w_h, b_hn, 8)
+    for a, bwd, name in zip(g_blk, g_one, ("dgates", "dh0", "dwh", "dbhn")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bwd), rtol=1e-5, atol=1e-6, err_msg=name
+        )
