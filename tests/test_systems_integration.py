@@ -396,3 +396,24 @@ def test_rec_mappo_vmap_seeds(fast_config_overrides):
     )
     perf = run_experiment(cfg)
     assert isinstance(perf, float)
+
+
+def test_rec_ippo_pallas_gru(fast_config_overrides):
+    """rec-IPPO end-to-end with GRU_IMPL='pallas': the fused Pallas recurrence
+    (interpret mode on CPU) composes with shard_map over the 8-device mesh,
+    chunked BPTT and the evaluator — the full system surface, not just the
+    kernel in isolation."""
+    from mava_tpu.networks import actor_critic
+
+    assert actor_critic.GRU_IMPL == "hoisted"
+    actor_critic.GRU_IMPL = "pallas"
+    try:
+        perf = _run(
+            "ppo.rec_ippo",
+            "default_rec_ippo",
+            fast_config_overrides
+            + ["env.kwargs.time_limit=16", "system.recurrent_chunk_size=2"],
+        )
+    finally:
+        actor_critic.GRU_IMPL = "hoisted"
+    assert isinstance(perf, float)
