@@ -81,15 +81,25 @@ def place_state(state: Any, spec_tree: Any, mesh) -> Any:
 
 
 def learner_setup(
-    cfg: Config, mesh, num_seeds: int, centralised_critic: bool = False
+    cfg: Config, mesh, num_seeds: int, centralised_critic: bool = False,
+    sweep_lrs=None,
 ) -> Tuple[Any, Any, Any, Any, Any]:
-    """Per-seed stock init, stacked and placed with seed-lifted specs."""
+    """Per-seed stock init, stacked and placed with seed-lifted specs.
+
+    With `sweep_lrs`, entry i keeps the SAME seed but its policy/q learning
+    rate becomes `sweep_lrs[i]`, baked into optimizer STATE by the swept-Adam
+    init (`ff_isac.init(swept_lr=True)`) — stacking the states automatically
+    yields the (S,)-shaped peak_lr leaves the vmapped update sweeps over."""
     states = []
     for s in range(num_seeds):
         cfg_s = copy.deepcopy(cfg)
-        cfg_s.system.seed = int(cfg.system.seed) + s
+        if sweep_lrs is None:
+            cfg_s.system.seed = int(cfg.system.seed) + s
+        else:
+            cfg_s.system.policy_lr = float(sweep_lrs[s])
+            cfg_s.system.q_lr = float(sweep_lrs[s])
         envs_, networks, optims, rb, ls, target_entropy, _ = ff_isac.init(
-            cfg_s, mesh, centralised_critic
+            cfg_s, mesh, centralised_critic, swept_lr=sweep_lrs is not None
         )
         states.append(jax.device_get(ls))
     # env/networks/optims/rb are structurally identical across seeds; keep the last.
@@ -122,20 +132,25 @@ def learner_setup(
     return (env, eval_env), networks, (explore, update), learner_state, num_seeds
 
 
-def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
+def run_experiment(
+    cfg: Config, centralised_critic: bool = False, sweep_lrs=None
+) -> float:
     cfg = copy.deepcopy(cfg)
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
     cfg.arch.n_devices = n_devices
     cfg = check_total_timesteps(cfg)
-    num_seeds = int(cfg.system.get("num_seeds", 4))
+    if sweep_lrs is not None:
+        num_seeds = len(sweep_lrs)
+    else:
+        num_seeds = int(cfg.system.get("num_seeds", 4))
 
     steps_per_rollout = int(cfg.system.total_timesteps // cfg.arch.num_evaluation)
     anakin_act_steps = n_devices * cfg.arch.num_envs * cfg.system.rollout_length
     cfg.system.scan_steps = max(1, int(steps_per_rollout / anakin_act_steps))
 
     (env, eval_env), networks, (explore, update), learner_state, _ = learner_setup(
-        cfg, mesh, num_seeds, centralised_critic
+        cfg, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs
     )
 
     logger = MavaLogger(cfg)
@@ -192,10 +207,16 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
             LogEvent.EVAL,
         )
 
-    print(
-        "vmap-seeds final eval returns per seed: "
-        + ", ".join(f"{r:.2f}" for r in per_seed)
-    )
+    if sweep_lrs is not None:
+        print(
+            "vmap-sweep final eval returns per lr: "
+            + ", ".join(f"lr={lr:g}: {r:.2f}" for lr, r in zip(sweep_lrs, per_seed))
+        )
+    else:
+        print(
+            "vmap-seeds final eval returns per seed: "
+            + ", ".join(f"{r:.2f}" for r in per_seed)
+        )
     logger.stop()
     return float(seed_returns.mean())
 

@@ -64,7 +64,9 @@ from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
 
-def init(cfg: Config, mesh, centralised_critic: bool = False) -> Tuple:
+def init(
+    cfg: Config, mesh, centralised_critic: bool = False, swept_lr: bool = False
+) -> Tuple:
     n_devices = num_learner_devices(mesh)
 
     env, eval_env = environments.make(cfg, add_global_state=centralised_critic)
@@ -122,8 +124,19 @@ def init(cfg: Config, mesh, centralised_critic: bool = False) -> Tuple:
     )
 
     grad_clip = optax.clip_by_global_norm(cfg.system.max_grad_norm)
-    actor_opt = optax.chain(grad_clip, optax.adam(cfg.system.policy_lr))
-    q_opt = optax.chain(grad_clip, optax.adam(cfg.system.q_lr))
+    if swept_lr:
+        # Same math as the stock chain, but the actor/q lr lives in optimizer
+        # STATE — stacked per-entry inits + vmap give a one-program lr sweep
+        # (advanced_usage/ff_isac_vmap_sweep.py). Alpha keeps its closure lr.
+        from mava_tpu.utils.training import make_swept_adam
+
+        actor_opt = make_swept_adam(
+            cfg.system.policy_lr, cfg.system.max_grad_norm
+        )
+        q_opt = make_swept_adam(cfg.system.q_lr, cfg.system.max_grad_norm)
+    else:
+        actor_opt = optax.chain(grad_clip, optax.adam(cfg.system.policy_lr))
+        q_opt = optax.chain(grad_clip, optax.adam(cfg.system.q_lr))
     alpha_opt = optax.chain(grad_clip, optax.adam(cfg.system.alpha_lr))
     opt_states = OptStates(
         actor_opt.init(params.actor),

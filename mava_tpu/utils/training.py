@@ -132,3 +132,23 @@ def set_peak_lr(opt_state, peak_lr) -> Any:
     return optax.tree_utils.tree_set(
         opt_state, peak_lr=jnp.asarray(peak_lr, jnp.float32)
     )
+
+
+def make_swept_adam(
+    lr: float, max_grad_norm: float, eps: float = 1e-8
+) -> optax.GradientTransformation:
+    """Generic (non-PPO-schedule) swept clipped Adam: clip → scale_by_adam(eps)
+    → constant scale_by_swept_lr, with `lr` written into the state at init.
+    Math-identical to `chain(clip_by_global_norm, adam(lr, eps))` — the SAC
+    family's optimizer (`ff_isac.py`) — but with the lr as a traced state leaf,
+    so stacked per-entry inits + vmap give a one-program lr sweep."""
+    opt = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.scale_by_adam(eps=eps),
+        scale_by_swept_lr(decay=False, total_updates=1),
+    )
+
+    def init_fn(params):
+        return set_peak_lr(opt.init(params), lr)
+
+    return optax.GradientTransformation(init_fn, opt.update)

@@ -218,3 +218,96 @@ def test_rec_vmap_sweep_entry_matches_stock_learner_at_that_lr():
                     np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-6)
                 else:
                     np.testing.assert_array_equal(g, w)
+
+
+def test_swept_adam_bitwise_matches_stock_sac_optimizer():
+    """make_swept_adam (lr in state) IS chain(clip, adam(lr)) — the SAC
+    family's optimizer — on a synthetic gradient stream."""
+    import optax
+
+    from mava_tpu.utils.training import make_swept_adam
+
+    params = {"w": jnp.arange(8, dtype=jnp.float32).reshape(2, 4) / 3.0}
+    for lr in (3e-4, 1e-3):
+        stock = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(lr))
+        swept = make_swept_adam(lr, 10.0)
+        p_a, s_a = params, stock.init(params)
+        p_b, s_b = params, swept.init(params)
+        for t in range(5):
+            g = {"w": jnp.cos(jnp.arange(8, dtype=jnp.float32).reshape(2, 4) + t)}
+            u_a, s_a = stock.update(g, s_a, p_a)
+            p_a = jax.tree.map(lambda p, u: p + u, p_a, u_a)
+            u_b, s_b = swept.update(g, s_b, p_b)
+            p_b = jax.tree.map(lambda p, u: p + u, p_b, u_b)
+        np.testing.assert_array_equal(np.asarray(p_a["w"]), np.asarray(p_b["w"]))
+
+
+def test_isac_vmap_sweep_entry_matches_stock_at_that_lr():
+    """Entry i of the batched SAC lr sweep (same seed everywhere, lr in
+    optimizer state) matches the stock non-swept ff-ISAC — params, replay
+    buffer and counters — run at policy_lr=q_lr=sweep_lrs[i]."""
+    from mava_tpu.advanced_usage import ff_isac_vmap_seeds as vs
+    from mava_tpu.parallel import build_learner
+    from mava_tpu.systems.sac import ff_isac
+
+    overrides = [
+        "env=maswarm",
+        "env.kwargs.time_limit=8",
+        "arch.num_envs=2",
+        "system.rollout_length=2",
+        "system.explore_steps=8",
+        "system.buffer_size=32",
+        "system.batch_size=4",
+        "system.epochs=2",
+        "logger.use_console=False",
+    ]
+    cfg = load_config("default_ff_isac", overrides)
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg.system.scan_steps = 2
+    sweep_lrs = [1e-4, 1e-3]
+
+    _, _, (explore_v, update_v), state_v, _ = vs.learner_setup(
+        cfg, mesh, len(sweep_lrs), sweep_lrs=sweep_lrs
+    )
+    mid_v, _ = explore_v(state_v)
+    out_v, _ = update_v(mid_v)
+    out_v = jax.device_get(out_v)
+
+    for s, lr in enumerate(sweep_lrs):
+        cfg_s = load_config(
+            "default_ff_isac",
+            overrides + [f"system.policy_lr={lr}", f"system.q_lr={lr}"],
+        )
+        cfg_s.arch.n_devices = cfg.arch.n_devices
+        cfg_s.system.scan_steps = 2
+        envs_, networks, optims, rb, ls, target_entropy, _ = ff_isac.init(cfg_s, mesh)
+        explore_fn, update_fn = ff_isac.make_update_fns(
+            cfg_s, envs_[0], networks, optims, rb, target_entropy, False
+        )
+        stock_specs = ff_isac._state_specs(jax.device_get(ls).buffer_state)
+        explore_s = build_learner(
+            explore_fn, mesh, in_specs=(stock_specs,),
+            out_specs=(stock_specs, P(None, DATA_AXIS)),
+        )
+        update_s = build_learner(
+            update_fn, mesh, in_specs=(stock_specs,),
+            out_specs=(stock_specs, (P(None, None, DATA_AXIS), P())),
+        )
+        mid_s, _ = explore_s(ls)
+        out_s, _ = update_s(mid_s)
+        out_s = jax.device_get(out_s)
+
+        got = jax.tree.map(lambda x: x[s], out_v)
+        for field in ("params", "buffer_state", "t", "key", "env_state"):
+            for g, w in zip(
+                jax.tree.leaves(getattr(got, field)),
+                jax.tree.leaves(getattr(out_s, field)),
+            ):
+                g, w = np.asarray(g), np.asarray(w)
+                if np.issubdtype(g.dtype, np.floating):
+                    np.testing.assert_allclose(
+                        g, w, rtol=1e-4, atol=1e-6, err_msg=field
+                    )
+                else:
+                    np.testing.assert_array_equal(g, w, err_msg=field)
