@@ -67,12 +67,22 @@ def _stock_specs(buffer_template) -> LearnerState:
     )
 
 
-def learner_setup(cfg: Config, mesh, num_seeds: int) -> Tuple[Any, Any, Any, Any]:
+def learner_setup(
+    cfg: Config, mesh, num_seeds: int, sweep_lrs=None
+) -> Tuple[Any, Any, Any, Any]:
+    """Per-seed stock init, stacked. With `sweep_lrs`, entries share the SAME
+    seed and differ only in q_lr, baked into optimizer state by the swept-Adam
+    init (`rec_iql.init(swept_lr=True)`)."""
     states = []
     for s in range(num_seeds):
         cfg_s = copy.deepcopy(cfg)
-        cfg_s.system.seed = int(cfg.system.seed) + s
-        envs_, q_net, opt, rb, ls, _ = rec_iql.init(cfg_s, mesh)
+        if sweep_lrs is None:
+            cfg_s.system.seed = int(cfg.system.seed) + s
+        else:
+            cfg_s.system.q_lr = float(sweep_lrs[s])
+        envs_, q_net, opt, rb, ls, _ = rec_iql.init(
+            cfg_s, mesh, swept_lr=sweep_lrs is not None
+        )
         states.append(jax.device_get(ls))
     stacked = stack_states(states)
 
@@ -92,20 +102,23 @@ def learner_setup(cfg: Config, mesh, num_seeds: int) -> Tuple[Any, Any, Any, Any
     return (env, eval_env), q_net, update, learner_state
 
 
-def run_experiment(cfg: Config) -> float:
+def run_experiment(cfg: Config, sweep_lrs=None) -> float:
     cfg = copy.deepcopy(cfg)
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
     cfg.arch.n_devices = n_devices
     cfg = check_total_timesteps(cfg)
-    num_seeds = int(cfg.system.get("num_seeds", 4))
+    if sweep_lrs is not None:
+        num_seeds = len(sweep_lrs)
+    else:
+        num_seeds = int(cfg.system.get("num_seeds", 4))
 
     steps_per_rollout = int(cfg.system.total_timesteps // cfg.arch.num_evaluation)
     anakin_act_steps = n_devices * cfg.arch.num_envs * cfg.system.rollout_length
     cfg.system.scan_steps = max(1, int(steps_per_rollout / anakin_act_steps))
 
     (env, eval_env), q_net, update, learner_state = learner_setup(
-        cfg, mesh, num_seeds
+        cfg, mesh, num_seeds, sweep_lrs=sweep_lrs
     )
 
     logger = MavaLogger(cfg)
@@ -162,10 +175,16 @@ def run_experiment(cfg: Config) -> float:
             LogEvent.EVAL,
         )
 
-    print(
-        "vmap-seeds final eval returns per seed: "
-        + ", ".join(f"{r:.2f}" for r in per_seed)
-    )
+    if sweep_lrs is not None:
+        print(
+            "vmap-sweep final eval returns per lr: "
+            + ", ".join(f"lr={lr:g}: {r:.2f}" for lr, r in zip(sweep_lrs, per_seed))
+        )
+    else:
+        print(
+            "vmap-seeds final eval returns per seed: "
+            + ", ".join(f"{r:.2f}" for r in per_seed)
+        )
     logger.stop()
     return float(seed_returns.mean())
 

@@ -268,7 +268,7 @@ def make_update_fn(
     return learner_fn
 
 
-def init(cfg: Config, mesh) -> Tuple:
+def init(cfg: Config, mesh, swept_lr: bool = False) -> Tuple:
     n_devices = num_learner_devices(mesh)
 
     env, eval_env = environments.make(cfg)
@@ -299,10 +299,17 @@ def init(cfg: Config, mesh) -> Tuple:
     q_target_params = q_net.init(q_key, init_hidden_state, init_x)
     params = QNetParams(q_params, q_target_params)
 
-    opt = optax.chain(
-        optax.clip_by_global_norm(cfg.system.max_grad_norm),
-        optax.adam(learning_rate=cfg.system.q_lr, eps=1e-5),
-    )
+    if swept_lr:
+        # Same math, lr moved into optimizer STATE so stacked per-entry inits
+        # + vmap sweep it in one program (advanced_usage/rec_iql_vmap_sweep.py).
+        from mava_tpu.utils.training import make_swept_adam
+
+        opt = make_swept_adam(cfg.system.q_lr, cfg.system.max_grad_norm, eps=1e-5)
+    else:
+        opt = optax.chain(
+            optax.clip_by_global_norm(cfg.system.max_grad_norm),
+            optax.adam(learning_rate=cfg.system.q_lr, eps=1e-5),
+        )
     opt_state = opt.init(params.online)
 
     init_acts = env.action_spec().generate_value()

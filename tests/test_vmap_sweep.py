@@ -311,3 +311,60 @@ def test_isac_vmap_sweep_entry_matches_stock_at_that_lr():
                     )
                 else:
                     np.testing.assert_array_equal(g, w, err_msg=field)
+
+
+def test_rec_iql_vmap_sweep_entry_matches_stock_at_that_lr():
+    """Entry i of the batched rec-IQL lr sweep matches the stock non-swept
+    rec-IQL (params, trajectory buffer, counters) run at q_lr=sweep_lrs[i]
+    from the same seed."""
+    from mava_tpu.advanced_usage import rec_iql_vmap_seeds as vs
+    from mava_tpu.systems.q_learning import rec_iql
+
+    overrides = [
+        "env=smax",
+        "env/scenario=2s3z",
+        "arch.num_envs=2",
+        "system.rollout_length=4",
+        "system.buffer_size=16",
+        "system.sample_batch_size=2",
+        "system.sample_sequence_length=8",
+        "system.epochs=1",
+        "system.min_buffer_size=2",
+        "logger.use_console=False",
+    ]
+    cfg = load_config("default_rec_iql", overrides)
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg.system.scan_steps = 2
+    sweep_lrs = [1e-4, 1e-3]
+
+    _, _, update_v, state_v = vs.learner_setup(
+        cfg, mesh, len(sweep_lrs), sweep_lrs=sweep_lrs
+    )
+    out_v, _ = update_v(state_v)
+    out_v = jax.device_get(out_v)
+
+    for s, lr in enumerate(sweep_lrs):
+        cfg_s = load_config("default_rec_iql", overrides + [f"system.q_lr={lr}"])
+        cfg_s.arch.n_devices = cfg.arch.n_devices
+        cfg_s.system.scan_steps = 2
+        envs_, q_net, opt, rb, ls, _ = rec_iql.init(cfg_s, mesh)
+        update_s = rec_iql.build_learn_fn(
+            cfg_s, envs_[0], q_net, opt, rb, mesh, jax.device_get(ls).buffer_state
+        )
+        out_s, _ = update_s(ls)
+        out_s = jax.device_get(out_s)
+
+        got = jax.tree.map(lambda x: x[s], out_v)
+        for field in ("params", "buffer_state", "time_steps", "train_steps", "key"):
+            for g, w in zip(
+                jax.tree.leaves(getattr(got, field)),
+                jax.tree.leaves(getattr(out_s, field)),
+            ):
+                g, w = np.asarray(g), np.asarray(w)
+                if np.issubdtype(g.dtype, np.floating):
+                    np.testing.assert_allclose(
+                        g, w, rtol=1e-4, atol=1e-6, err_msg=field
+                    )
+                else:
+                    np.testing.assert_array_equal(g, w, err_msg=field)
