@@ -3,8 +3,14 @@
 
 .PHONY: test test-fast bench bench-suite train-smax
 
+# Two pytest processes: the system-integration matrix runs in a FRESH
+# interpreter. One ~40-min process compiling hundreds of XLA programs can
+# segfault in the compilation-cache serializer near the end of the session
+# (observed on the biggest graph, test_ff_masac_mahumanoid, which passes in
+# isolation every time); process separation sidesteps the accumulated state.
 test:
-	python -m pytest tests/ -x -q
+	python -m pytest tests/ -x -q --ignore=tests/test_systems_integration.py
+	python -m pytest tests/test_systems_integration.py -x -q
 
 test-fast:
 	python -m pytest tests/ -x -q -k "not integration"
