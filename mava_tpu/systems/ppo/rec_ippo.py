@@ -360,6 +360,11 @@ def get_learner_fn(
 def learner_setup(
     env: MarlEnv, keys: Tuple, config: Config, mesh, centralised_critic: bool = False
 ) -> Tuple[Callable, Any, RNNLearnerState]:
+    # Select the ScannedRNN implementation from config (hoisted | pallas |
+    # cell) — a module-level switch so every GRU in the program agrees.
+    from mava_tpu.networks import actor_critic as _ac
+    _ac.GRU_IMPL = config.network.get("gru_impl", _ac.GRU_IMPL)
+
     n_devices = num_learner_devices(mesh)
     num_agents = env.num_agents
     config.system.num_agents = num_agents

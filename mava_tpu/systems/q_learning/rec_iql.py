@@ -269,6 +269,11 @@ def make_update_fn(
 
 
 def init(cfg: Config, mesh, swept_lr: bool = False) -> Tuple:
+    # Select the ScannedRNN implementation from config (hoisted | pallas |
+    # cell) — a module-level switch so every GRU in the program agrees.
+    from mava_tpu.networks import actor_critic as _ac
+    _ac.GRU_IMPL = cfg.network.get("gru_impl", _ac.GRU_IMPL)
+
     n_devices = num_learner_devices(mesh)
 
     env, eval_env = environments.make(cfg)
