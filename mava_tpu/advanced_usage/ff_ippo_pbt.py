@@ -59,6 +59,10 @@ def pbt_exploit_explore(
     """
     pop = returns.shape[0]
     k = max(1, int(pop * frac))
+    assert 2 * k <= pop, (
+        f"pbt_frac={frac} makes bottom-{k} and top-{k} overlap in a "
+        f"population of {pop}; use frac <= 0.5"
+    )
     order = jnp.argsort(jnp.asarray(returns))  # ascending
     bottom, top = order[:k], order[-k:]
 
@@ -117,6 +121,9 @@ def run_experiment(config: Config) -> float:
         jax.random.PRNGKey(config.system.seed), 3
     )
 
+    # num_updates derives from total_timesteps BEFORE the optimizers are built.
+    config = check_total_timesteps(config)
+
     learn, actor_network, learner_state = vs.learner_setup(
         env, key, config, mesh, pop, sweep_lrs=init_lrs
     )
@@ -124,7 +131,6 @@ def run_experiment(config: Config) -> float:
     eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
     evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
 
-    config = check_total_timesteps(config)
     config.system.num_updates_per_eval = (
         config.system.num_updates // config.arch.num_evaluation
     )

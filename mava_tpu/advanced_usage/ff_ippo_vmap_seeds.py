@@ -213,6 +213,10 @@ def run_experiment(
     env, eval_env = environments.make(config, add_global_state=centralised_critic)
     key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
 
+    # num_updates must be derived from total_timesteps BEFORE the optimizers
+    # (and their decay horizons) are built.
+    config = check_total_timesteps(config)
+
     learn, actor_network, learner_state = learner_setup(
         env, key, config, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs
     )
@@ -220,7 +224,6 @@ def run_experiment(
     eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
     evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
 
-    config = check_total_timesteps(config)
     config.system.num_updates_per_eval = (
         config.system.num_updates // config.arch.num_evaluation
     )

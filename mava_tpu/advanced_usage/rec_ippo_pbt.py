@@ -60,6 +60,9 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
     env, eval_env = environments.make(config, add_global_state=centralised_critic)
     key, key_e, key_pbt = jax.random.split(jax.random.PRNGKey(config.system.seed), 3)
 
+    # num_updates derives from total_timesteps BEFORE the optimizers are built.
+    config = check_total_timesteps(config)
+
     learn, actor_network, learner_state = vs.learner_setup(
         env, key, config, mesh, pop, centralised_critic, sweep_lrs=init_lrs
     )
@@ -67,7 +70,6 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
     eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)
     evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
 
-    config = check_total_timesteps(config)
     config.system.num_updates_per_eval = (
         config.system.num_updates // config.arch.num_evaluation
     )

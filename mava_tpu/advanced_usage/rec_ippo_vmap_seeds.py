@@ -72,6 +72,11 @@ def learner_setup(
     """Stock rec-IPPO learner with a leading batch axis over seeds — or, with
     `sweep_lrs`, over LEARNING RATES (shared init/env seeds, swept optimizer;
     see ff_ippo_vmap_seeds.learner_setup for the mechanism)."""
+    # Honor network.gru_impl exactly like the stock recurrent setups do.
+    from mava_tpu.networks import actor_critic as _ac
+
+    _ac.GRU_IMPL = config.network.get("gru_impl", _ac.GRU_IMPL)
+
     n_devices = num_learner_devices(mesh)
     num_agents = env.num_agents
     config.system.num_agents = num_agents
@@ -237,6 +242,10 @@ def run_experiment(
     env, eval_env = environments.make(config, add_global_state=centralised_critic)
     key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
 
+    # num_updates must be derived from total_timesteps BEFORE the optimizers
+    # (and their decay horizons) are built.
+    config = check_total_timesteps(config)
+
     learn, actor_network, learner_state = learner_setup(
         env, key, config, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs
     )
@@ -244,7 +253,6 @@ def run_experiment(
     eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)
     evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
 
-    config = check_total_timesteps(config)
     config.system.num_updates_per_eval = (
         config.system.num_updates // config.arch.num_evaluation
     )

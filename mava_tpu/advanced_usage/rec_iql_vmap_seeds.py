@@ -39,32 +39,13 @@ from mava_tpu.parallel import (
     num_learner_devices,
 )
 from mava_tpu.systems.q_learning import rec_iql
-from mava_tpu.systems.q_learning.types import LearnerState
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 
 
-def _stock_specs(buffer_template) -> LearnerState:
-    """The per-shard sharding layout of `rec_iql.build_learn_fn`."""
-    buffer_specs = buffer_template.replace(
-        experience=jax.tree.map(lambda _: P(DATA_AXIS), buffer_template.experience),
-        current_index=P(),
-        is_full=P(),
-    )
-    return LearnerState(
-        obs=P(DATA_AXIS),
-        terminal=P(DATA_AXIS),
-        term_or_trunc=P(DATA_AXIS),
-        hidden_state=P(DATA_AXIS),
-        env_state=P(DATA_AXIS),
-        time_steps=P(),
-        train_steps=P(),
-        opt_state=P(),
-        buffer_state=buffer_specs,
-        params=P(),
-        key=P(DATA_AXIS),
-    )
+# Sharding layout comes from the stock system — single source of truth.
+_stock_specs = rec_iql._state_specs
 
 
 def learner_setup(

@@ -17,7 +17,7 @@ formulation — no hand-rolled recursive Newton-Euler, no scatters):
     M q̈      = τ − C q̇ + ∂(T−V)/∂q − β q̇      (Euler-Lagrange, solved with
                                                jnp.linalg.solve on the tiny N×N M)
 
-Integration is semi-implicit (symplectic) Euler with substeps. Everything is a few
+Integration is classic RK4 with substeps (see _integrate for why symplectic Euler was rejected). Everything is a few
 small dense ops — vmapped over envs it compiles to batched matmuls.
 
 Task: cooperative reaching. Each agent torques its own joints; the shared team

@@ -395,6 +395,13 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         jax.random.PRNGKey(config.system.seed), num=4
     )
 
+    # Derive num_updates from total_timesteps BEFORE building the learner:
+    # the lr-decay horizon is baked into the optimizer at setup time.
+    config = check_total_timesteps(config)
+    assert config.system.num_updates >= config.arch.num_evaluation, (
+        "Number of updates per evaluation must be less than total number of updates."
+    )
+
     learn, actor_network, learner_state = learner_setup(
         env, (key, actor_net_key, critic_net_key), config, mesh, centralised_critic
     )
@@ -419,10 +426,6 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
     eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
     evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
 
-    config = check_total_timesteps(config)
-    assert config.system.num_updates >= config.arch.num_evaluation, (
-        "Number of updates per evaluation must be less than total number of updates."
-    )
     config.system.num_updates_per_eval = (
         config.system.num_updates // config.arch.num_evaluation
     )

@@ -515,17 +515,36 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         jax.random.PRNGKey(config.system.seed), num=4
     )
 
-    learn, actor_network, learner_state = learner_setup(
-        env, (key, actor_net_key, critic_net_key), config, mesh, centralised_critic
-    )
-
-    eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)
-    evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
-
+    # Derive num_updates from total_timesteps BEFORE building the learner:
+    # the lr-decay horizon is baked into the optimizer at setup time.
     config = check_total_timesteps(config)
     assert config.system.num_updates >= config.arch.num_evaluation, (
         "Number of updates per evaluation must be less than total number of updates."
     )
+
+    learn, actor_network, learner_state = learner_setup(
+        env, (key, actor_net_key, critic_net_key), config, mesh, centralised_critic
+    )
+
+    # Exact-state resume (beyond the reference's params-level resume): restore
+    # the whole learner state — optimizer/rng/env/hidden state included — from
+    # a checkpoint written with `save_full_state=True` (see ff_ippo.py).
+    start_t = 0
+    if config.logger.checkpointing.get("load_full_state", False):
+        loader = Checkpointer(
+            model_name=config.logger.system_name,
+            **config.logger.checkpointing.load_args,
+        )
+        template = jax.device_get(learner_state)
+        restored = loader.restore_full_state(template)
+        start_t = int(loader._manager.latest_step())
+        learner_state = jax.tree.map(
+            lambda t, x: jax.device_put(x, t.sharding), learner_state, restored
+        )
+        loader.close()
+
+    eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)
+    evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
     config.system.num_updates_per_eval = (
         config.system.num_updates // config.arch.num_evaluation
     )
@@ -563,7 +582,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
             jax.block_until_ready(learner_output)
 
         elapsed_time = time.time() - start_time
-        t = int(steps_per_rollout * (eval_step + 1))
+        t = start_t + int(steps_per_rollout * (eval_step + 1))
         episode_metrics, ep_completed = get_final_step_metrics(
             learner_output.episode_metrics
         )
@@ -590,6 +609,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
                     lambda x: jax.device_get(x), learner_output.learner_state
                 ),
                 episode_return=episode_return,
+                full_state=config.logger.checkpointing.get("save_full_state", False),
             )
 
         if config.arch.absolute_metric and max_episode_return <= episode_return:
@@ -613,7 +633,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         eval_metrics = abs_metric_evaluator(
             best_params, eval_key, {"hidden_state": eval_hs}
         )
-        t = int(steps_per_rollout * (eval_step + 1))
+        t = start_t + int(steps_per_rollout * (eval_step + 1))
         logger.log(eval_metrics, t, eval_step, LogEvent.ABSOLUTE)
 
     logger.stop()

@@ -377,14 +377,18 @@ def init(cfg: Config, mesh, swept_lr: bool = False) -> Tuple:
     return (env, eval_env), q_net, opt, rb, learner_state, key
 
 
-def build_learn_fn(cfg: Config, env, q_net, opt, rb, mesh, buffer_template) -> Callable:
-    learner = make_update_fn(cfg, env, q_net, opt, rb)
+def _state_specs(buffer_template) -> LearnerState:
+    """Per-shard sharding layout of the rec-IQL learner state: env-parallel
+    leaves (obs/env/hidden/rng and the replay EXPERIENCE) ride the data axis;
+    params/opt and the ring counters are replicated. Single source of truth for
+    both the stock learner and the vmapped variants
+    (advanced_usage/rec_iql_vmap_seeds.py)."""
     buffer_specs = buffer_template.replace(
         experience=jax.tree.map(lambda _: P(DATA_AXIS), buffer_template.experience),
         current_index=P(),
         is_full=P(),
     )
-    state_specs = LearnerState(
+    return LearnerState(
         obs=P(DATA_AXIS),
         terminal=P(DATA_AXIS),
         term_or_trunc=P(DATA_AXIS),
@@ -397,6 +401,11 @@ def build_learn_fn(cfg: Config, env, q_net, opt, rb, mesh, buffer_template) -> C
         params=P(),
         key=P(DATA_AXIS),
     )
+
+
+def build_learn_fn(cfg: Config, env, q_net, opt, rb, mesh, buffer_template) -> Callable:
+    learner = make_update_fn(cfg, env, q_net, opt, rb)
+    state_specs = _state_specs(buffer_template)
     out_specs = (
         state_specs,
         (P(None, None, DATA_AXIS), P()),  # episode metrics; pmean'd losses
@@ -411,6 +420,13 @@ def build_learn_fn(cfg: Config, env, q_net, opt, rb, mesh, buffer_template) -> C
 
 
 def run_experiment(cfg: Config) -> float:
+    if cfg.logger.checkpointing.get("load_full_state", False):
+        raise NotImplementedError(
+            "Exact-state resume (load_full_state) is implemented for the PPO "
+            "family (ff/rec IPPO + MAPPO); this system currently supports "
+            "params-level resume only (logger.checkpointing.load_model)."
+        )
+
     cfg = copy.deepcopy(cfg)
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)

@@ -444,6 +444,13 @@ def _state_specs(buffer_template) -> LearnerState:
 
 
 def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
+    if cfg.logger.checkpointing.get("load_full_state", False):
+        raise NotImplementedError(
+            "Exact-state resume (load_full_state) is implemented for the PPO "
+            "family (ff/rec IPPO + MAPPO); this system currently supports "
+            "params-level resume only (logger.checkpointing.load_model)."
+        )
+
     cfg = copy.deepcopy(cfg)
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)

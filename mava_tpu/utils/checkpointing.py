@@ -122,7 +122,7 @@ class Checkpointer:
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
         try:
             return self._manager.restore(step, args=ocp.args.StandardRestore(abstract))
-        except BaseException:
+        except Exception:
             restored = self._manager.restore(
                 step, args=ocp.args.Composite(model=ocp.args.StandardRestore(abstract))
             )

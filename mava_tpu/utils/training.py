@@ -19,7 +19,10 @@ def make_learning_rate_schedule(init_lr: float, config) -> Callable[[int], float
     )
 
     def linear_schedule(count: int) -> float:
-        frac = 1.0 - count / total_updates
+        # Clamped at zero: past the planned horizon (misconfigured num_updates
+        # or extended runs) the lr holds at 0 instead of going NEGATIVE and
+        # turning every update into gradient ascent.
+        frac = jnp.maximum(0.0, 1.0 - count / total_updates)
         return init_lr * frac
 
     return linear_schedule
@@ -53,7 +56,12 @@ def entropy_coefficient(config, actor_opt_state):
         * config.system.num_minibatches
         * config.system.num_updates
     )
-    count = optax.tree_utils.tree_get(actor_opt_state, "count")
+    # With decay_learning_rates the optimizer is adam(schedule), whose chain
+    # carries TWO 'count' leaves (ScaleByAdamState + ScaleByScheduleState) and
+    # tree_get raises on the ambiguity. Both counters tick once per update, so
+    # take the first match (regression test: tests/test_losses.py).
+    found = optax.tree_utils.tree_get_all_with_path(actor_opt_state, "count")
+    count = found[0][1]
     frac = jnp.minimum(count / total, 1.0)
     return init + (final - init) * frac
 
@@ -97,7 +105,9 @@ def scale_by_swept_lr(
     def update_fn(updates, state, params=None):
         del params
         if decay:
-            frac = 1.0 - state.steps / total_updates
+            # Same clamped-at-zero linear decay as make_learning_rate_schedule
+            # (bit-compat is tested in tests/test_vmap_sweep.py).
+            frac = jnp.maximum(0.0, 1.0 - state.steps / total_updates)
             lr = state.peak_lr * frac
         else:
             lr = state.peak_lr

@@ -86,12 +86,18 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     results = {}
     for name in ("pallas", "hoisted", "cell", "flax"):
-        actor_critic.GRU_IMPL = name if name in ("pallas", "hoisted") else "cell"
+        impl = name if name in ("pallas", "hoisted") else "cell"
         if name == "flax":
-            actor_critic.FusedGRUCell = FlaxGRUAdapter  # monkeypatch for variant C
+            actor_critic.FusedGRUCell = FlaxGRUAdapter  # monkeypatch for variant D
         try:
-            cfg = load_config("default_rec_ippo", list(OVERRIDES))
+            # Select via CONFIG: learner_setup applies network.gru_impl to the
+            # module global, so a bare monkeypatch of GRU_IMPL would be
+            # clobbered; the assert below catches any future re-clobbering.
+            cfg = load_config(
+                "default_rec_ippo", list(OVERRIDES) + [f"network.gru_impl={impl}"]
+            )
             learn, state = build(cfg)
+            assert actor_critic.GRU_IMPL == impl, actor_critic.GRU_IMPL
             dt = timed(learn, state, n)
         except Exception as e:  # a failing variant must not kill the A/B
             results[name] = {"error": f"{type(e).__name__}: {e}"}

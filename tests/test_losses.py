@@ -95,3 +95,40 @@ def test_entropy_coefficient_schedule():
     # Default (ent_coef_final unset) stays the plain constant.
     system_const = Config({"ent_coef": 0.01, "ppo_epochs": 2, "num_minibatches": 2, "num_updates": 5})
     assert entropy_coefficient(SimpleNamespace(system=system_const), state) == 0.01
+
+
+def test_entropy_coefficient_with_decayed_adam_opt_state():
+    """Regression: with decay_learning_rates the actor optimizer is
+    adam(schedule), whose chain carries TWO 'count' leaves; entropy_coefficient
+    must read the step anyway instead of raising on the ambiguity."""
+    import jax.numpy as jnp
+    import optax
+
+    from mava_tpu.utils.config import Config
+    from mava_tpu.utils.training import (
+        entropy_coefficient,
+        make_learning_rate,
+        make_optimizer,
+    )
+
+    cfg = Config.from_dict(
+        {
+            "system": {
+                "ppo_epochs": 1,
+                "num_minibatches": 1,
+                "num_updates": 10,
+                "decay_learning_rates": True,
+                "ent_coef": 0.02,
+                "ent_coef_final": 0.002,
+            }
+        }
+    )
+    optim = make_optimizer(make_learning_rate(3e-4, cfg), 0.5)
+    params = {"w": jnp.zeros(3)}
+    state = optim.init(params)
+    assert abs(float(entropy_coefficient(cfg, state)) - 0.02) < 1e-7
+    for _ in range(5):
+        u, state = optim.update({"w": jnp.ones(3)}, state, params)
+        params = optax.apply_updates(params, u)
+    mid = float(entropy_coefficient(cfg, state))
+    assert 0.002 < mid < 0.02  # halfway through the anneal

@@ -405,15 +405,19 @@ def test_rec_ippo_pallas_gru(fast_config_overrides):
     kernel in isolation."""
     from mava_tpu.networks import actor_critic
 
-    assert actor_critic.GRU_IMPL == "hoisted"
-    actor_critic.GRU_IMPL = "pallas"
     try:
         perf = _run(
             "ppo.rec_ippo",
             "default_rec_ippo",
             fast_config_overrides
-            + ["env.kwargs.time_limit=16", "system.recurrent_chunk_size=2"],
+            + [
+                "env.kwargs.time_limit=16",
+                "system.recurrent_chunk_size=2",
+                "network.gru_impl=pallas",
+            ],
         )
+        # The config wiring must actually have selected the pallas path.
+        assert actor_critic.GRU_IMPL == "pallas"
     finally:
         actor_critic.GRU_IMPL = "hoisted"
     assert isinstance(perf, float)
