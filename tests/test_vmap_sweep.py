@@ -368,3 +368,24 @@ def test_rec_iql_vmap_sweep_entry_matches_stock_at_that_lr():
                     )
                 else:
                     np.testing.assert_array_equal(g, w, err_msg=field)
+
+
+def test_decay_schedule_clamps_at_zero_past_horizon():
+    """Past the planned horizon the lr must hold at 0, not go negative
+    (regression for the gradient-ascent failure mode), in BOTH the stock
+    schedule and the swept optimizer."""
+    from mava_tpu.utils.training import make_learning_rate_schedule
+
+    cfg = _toy_config(decay=True)  # horizon = 2*2*3 = 12 updates
+    sched = make_learning_rate_schedule(1e-3, cfg)
+    assert float(sched(12)) == 0.0
+    assert float(sched(50)) == 0.0
+    assert float(sched(6)) > 0.0
+
+    swept = make_swept_optimizer(cfg, 10.0)
+    params = {"w": jnp.ones(3)}
+    state = set_peak_lr(swept.init(params), 1e-3)
+    g = {"w": jnp.ones(3)}
+    for _ in range(20):  # run well past the 12-update horizon
+        u, state = swept.update(g, state, params)
+    np.testing.assert_array_equal(np.asarray(u["w"]), np.zeros(3))
