@@ -420,13 +420,6 @@ def build_learn_fn(cfg: Config, env, q_net, opt, rb, mesh, buffer_template) -> C
 
 
 def run_experiment(cfg: Config) -> float:
-    if cfg.logger.checkpointing.get("load_full_state", False):
-        raise NotImplementedError(
-            "Exact-state resume (load_full_state) is implemented for the PPO "
-            "family (ff/rec IPPO + MAPPO); this system currently supports "
-            "params-level resume only (logger.checkpointing.load_model)."
-        )
-
     cfg = copy.deepcopy(cfg)
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
@@ -438,6 +431,23 @@ def run_experiment(cfg: Config) -> float:
     cfg.system.scan_steps = max(1, int(steps_per_rollout / anakin_act_steps))
 
     (env, eval_env), q_net, opt, rb, learner_state, key = init(cfg, mesh)
+
+    # Exact-state resume: restore the WHOLE learner state (params, optimizer,
+    # trajectory buffer, env/hidden states, counters) and train the remaining
+    # budget; the checkpoint's step key gives the already-consumed env steps.
+    resumed_t = 0
+    if cfg.logger.checkpointing.get("load_full_state", False):
+        loader = Checkpointer(
+            model_name=cfg.logger.system_name,
+            **cfg.logger.checkpointing.load_args,
+        )
+        template = jax.device_get(learner_state)
+        restored = loader.restore_full_state(template)
+        resumed_t = int(loader._manager.latest_step())
+        learner_state = jax.tree.map(
+            lambda t_, x: jax.device_put(x, t_.sharding), learner_state, restored
+        )
+        loader.close()
 
     # Build the spec template from a single-shard buffer state structure.
     update = build_learn_fn(
@@ -473,8 +483,17 @@ def run_experiment(cfg: Config) -> float:
 
     max_episode_return = -jnp.inf
     best_params = None
+    assert resumed_t + steps_per_rollout <= cfg.system.total_timesteps, (
+        f"resumed at env-step {resumed_t} with total_timesteps="
+        f"{int(cfg.system.total_timesteps)} — nothing left to train; raise "
+        "system.total_timesteps to extend the run"
+    )
     for eval_idx, t in enumerate(
-        range(steps_per_rollout, int(cfg.system.total_timesteps + 1), steps_per_rollout)
+        range(
+            resumed_t + steps_per_rollout,
+            int(cfg.system.total_timesteps + 1),
+            steps_per_rollout,
+        )
     ):
         timer = PhaseTimer()
         start_time = time.time()
@@ -518,6 +537,7 @@ def run_experiment(cfg: Config) -> float:
                     jax.device_get, learner_state
                 ),
                 episode_return=episode_return,
+                full_state=cfg.logger.checkpointing.get("save_full_state", False),
             )
 
     eval_performance = float(jnp.mean(eval_metrics[cfg.env.eval_metric]))

@@ -444,13 +444,6 @@ def _state_specs(buffer_template) -> LearnerState:
 
 
 def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
-    if cfg.logger.checkpointing.get("load_full_state", False):
-        raise NotImplementedError(
-            "Exact-state resume (load_full_state) is implemented for the PPO "
-            "family (ff/rec IPPO + MAPPO); this system currently supports "
-            "params-level resume only (logger.checkpointing.load_model)."
-        )
-
     cfg = copy.deepcopy(cfg)
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
@@ -485,6 +478,24 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
         donate=donate,
     )
 
+    # Exact-state resume: restore the WHOLE learner state (params, optimizer
+    # moments, replay buffer, env states, rng, step counter) and continue. The
+    # env-step counter lives in the state, so a resumed run finishes the
+    # REMAINING total_timesteps budget and skips the explore phase.
+    resumed = False
+    if cfg.logger.checkpointing.get("load_full_state", False):
+        loader = Checkpointer(
+            model_name=cfg.logger.system_name,
+            **cfg.logger.checkpointing.load_args,
+        )
+        template = jax.device_get(learner_state)
+        restored = loader.restore_full_state(template)
+        learner_state = jax.tree.map(
+            lambda t_, x: jax.device_put(x, t_.sharding), learner_state, restored
+        )
+        loader.close()
+        resumed = True
+
     logger = MavaLogger(cfg)
 
     actor, _ = networks
@@ -500,22 +511,30 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
 
     max_episode_return = -jnp.inf
     best_params = None
-    start_time = time.time()
 
-    learner_state, metrics = explore(learner_state)
-    jax.block_until_ready(learner_state)
+    if not resumed:
+        start_time = time.time()
+        learner_state, metrics = explore(learner_state)
+        jax.block_until_ready(learner_state)
 
-    # Global env-step accounting: explore consumed explore-steps on EVERY shard.
-    t = int(learner_state.t) * n_devices
-    sps = t / (time.time() - start_time)
-    logger.log({"step": t}, t, 0, LogEvent.MISC)
-    final_metrics, ep_completed = get_final_step_metrics(metrics)
-    final_metrics["steps_per_second"] = sps
-    if ep_completed:  # long time limits may complete no episode during exploration
-        logger.log(final_metrics, t, 0, LogEvent.ACT)
+        # Global env-step accounting: explore consumed explore-steps per shard.
+        t = int(learner_state.t) * n_devices
+        sps = t / (time.time() - start_time)
+        logger.log({"step": t}, t, 0, LogEvent.MISC)
+        final_metrics, ep_completed = get_final_step_metrics(metrics)
+        final_metrics["steps_per_second"] = sps
+        if ep_completed:  # long time limits may complete no episode in explore
+            logger.log(final_metrics, t, 0, LogEvent.ACT)
+    else:
+        t = int(learner_state.t) * n_devices
+        logger.log({"step": t}, t, 0, LogEvent.MISC)
 
     start = t
     stop = int(cfg.system.total_timesteps + 1)
+    assert start < stop, (
+        f"resumed at env-step {start} but total_timesteps={stop - 1} — "
+        "nothing left to train; raise system.total_timesteps to extend the run"
+    )
     for eval_idx, t in enumerate(range(start, stop, steps_per_rollout)):
         timer = PhaseTimer()
         start_time = time.time()
@@ -551,6 +570,7 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
                     jax.device_get, learner_state
                 ),
                 episode_return=episode_return,
+                full_state=cfg.logger.checkpointing.get("save_full_state", False),
             )
 
     eval_performance = float(jnp.mean(eval_metrics[cfg.env.eval_metric]))
