@@ -159,3 +159,64 @@ def test_exact_state_resume_is_bitwise(workdir):
         jax.tree.leaves(jax.device_get(out2.learner_state)),
     ):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_exact_state_resume_sac_is_bitwise(workdir):
+    """SAC counterpart: full-state round-trip through orbax (including the
+    replay buffer and step counter) continues bit-identically."""
+    from mava_tpu.parallel import DATA_AXIS, build_learner, make_mesh, num_learner_devices
+    from jax.sharding import PartitionSpec as P
+    from mava_tpu.systems.sac import ff_isac
+    from mava_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "default_ff_isac",
+        [
+            "env=maswarm",
+            "env.kwargs.time_limit=8",
+            "arch.num_envs=2",
+            "system.rollout_length=2",
+            "system.explore_steps=8",
+            "system.buffer_size=32",
+            "system.batch_size=4",
+            "system.epochs=2",
+            "logger.use_console=False",
+        ],
+    )
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg.system.scan_steps = 2
+    envs_, networks, optims, rb, ls, target_entropy, _ = ff_isac.init(cfg, mesh)
+    explore_fn, update_fn = ff_isac.make_update_fns(
+        cfg, envs_[0], networks, optims, rb, target_entropy, False
+    )
+    specs = ff_isac._state_specs(jax.device_get(ls).buffer_state)
+    explore = build_learner(
+        explore_fn, mesh, in_specs=(specs,), out_specs=(specs, P(None, DATA_AXIS))
+    )
+    update = build_learner(
+        update_fn, mesh, in_specs=(specs,),
+        out_specs=(specs, (P(None, None, DATA_AXIS), P())),
+    )
+
+    mid, _ = explore(ls)
+    mid, _ = update(mid)
+    host_mid = jax.device_get(mid)
+
+    ckpt = Checkpointer(model_name="m", checkpoint_uid="sacexact", save_interval_steps=1)
+    assert ckpt.save(1, host_mid, episode_return=0.0, full_state=True)
+    ckpt.close()
+
+    cont, _ = update(mid)  # uninterrupted continuation
+
+    loader = Checkpointer(model_name="m", checkpoint_uid="sacexact")
+    restored = loader.restore_full_state(host_mid)
+    loader.close()
+    placed = jax.tree.map(lambda t, x: jax.device_put(x, t.sharding), mid, restored)
+    resumed, _ = update(placed)
+
+    for g, w in zip(
+        jax.tree.leaves(jax.device_get(resumed)),
+        jax.tree.leaves(jax.device_get(cont)),
+    ):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
