@@ -88,7 +88,7 @@ def pbt_exploit_explore(
     return params, opt_states, src, factors
 
 
-def run_experiment(config: Config) -> float:
+def run_experiment(config: Config, centralised_critic: bool = False) -> float:
     import copy
     import time
 
@@ -116,7 +116,7 @@ def run_experiment(config: Config) -> float:
         np.exp(np.linspace(np.log(lr_range[0]), np.log(lr_range[1]), pop))
     )
 
-    env, eval_env = environments.make(config)
+    env, eval_env = environments.make(config, add_global_state=centralised_critic)
     key, key_e, key_pbt = jax.random.split(
         jax.random.PRNGKey(config.system.seed), 3
     )
@@ -125,7 +125,7 @@ def run_experiment(config: Config) -> float:
     config = check_total_timesteps(config)
 
     learn, actor_network, learner_state = vs.learner_setup(
-        env, key, config, mesh, pop, sweep_lrs=init_lrs
+        env, key, config, mesh, pop, centralised_critic, sweep_lrs=init_lrs
     )
 
     eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
