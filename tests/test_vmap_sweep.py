@@ -389,3 +389,17 @@ def test_decay_schedule_clamps_at_zero_past_horizon():
     for _ in range(20):  # run well past the 12-update horizon
         u, state = swept.update(g, state, params)
     np.testing.assert_array_equal(np.asarray(u["w"]), np.zeros(3))
+
+
+def test_parse_sweep_lrs_accepts_yaml_list_and_comma_string():
+    """CLI robustness: yaml parses `[1e-4, 3e-4]` to a list of STRINGS (bare
+    scientific notation is not a yaml float), and users may also pass a plain
+    comma string — both must coerce to floats."""
+    from mava_tpu.advanced_usage.ff_ippo_vmap_sweep import parse_sweep_lrs
+
+    cfg = Config.from_dict({"system": {"sweep_lrs": ["1e-4", "3e-4", 0.001]}})
+    assert parse_sweep_lrs(cfg) == [1e-4, 3e-4, 1e-3]
+    cfg = Config.from_dict({"system": {"sweep_lrs": "1e-4, 3e-4"}})
+    assert parse_sweep_lrs(cfg) == [1e-4, 3e-4]
+    cfg = Config.from_dict({"system": {}})
+    assert len(parse_sweep_lrs(cfg)) == 4  # documented default grid
