@@ -143,6 +143,9 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
 
     logger = MavaLogger(config)
     returns = np.zeros(pop)
+    # Rank members by the env's headline metric (win_rate on SMAX/gigastep,
+    # episode_return elsewhere) — the same metric BASELINE tables report.
+    rank_metric = config.env.get("eval_metric", "episode_return")
 
     for eval_step in range(config.arch.num_evaluation):
         start = time.time()
@@ -162,7 +165,7 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
             key_e, eval_key = jax.random.split(key_e)
             params_m = jax.tree.map(lambda x: x[m], state.params.actor_params)
             returns[m] = float(
-                jnp.mean(evaluator(params_m, eval_key, {})["episode_return"])
+                jnp.mean(evaluator(params_m, eval_key, {})[rank_metric])
             )
         lrs = np.asarray(
             optax.tree_utils.tree_get(state.opt_states[0], "peak_lr")

@@ -88,6 +88,8 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
     )
     returns = np.zeros(pop)
     lrs = np.asarray(init_lrs)
+    # Rank members by the env's headline metric (win_rate on SMAX/gigastep).
+    rank_metric = config.env.get("eval_metric", "episode_return")
 
     for eval_step in range(config.arch.num_evaluation):
         start = time.time()
@@ -109,7 +111,7 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
             returns[m] = float(
                 jnp.mean(
                     evaluator(params_m, eval_key, {"hidden_state": eval_hs})[
-                        "episode_return"
+                        rank_metric
                     ]
                 )
             )
