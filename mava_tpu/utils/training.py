@@ -80,8 +80,8 @@ class SweptLrState(NamedTuple):
     the TRACED peak learning rate — set it per sweep entry with
     `optax.tree_utils.tree_set(opt_state, peak_lr=...)` and `jax.vmap` the stock
     update over a stacked state to train many learning rates in one program.
-    (Named `steps`, not `count`, so `entropy_coefficient`'s
-    `tree_get(opt_state, "count")` still resolves uniquely to Adam's counter.)"""
+    (Named `steps`, not `count`, to stay distinguishable from Adam's counter
+    in `tree_get`-style state queries.)"""
 
     steps: chex.Array
     peak_lr: chex.Array
