@@ -9,7 +9,7 @@ equivalent of sequence handling here is keeping the time axis inside `lax.scan` 
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple, Union
+from typing import Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -139,15 +139,27 @@ class FusedGRUCell(nn.Module):
         return new_h, new_h
 
 
-# Which ScannedRNN implementation to trace. "hoisted" (default) computes the
-# input projection for ALL timesteps as one wide MXU matmul before the serial
-# scan; "pallas" additionally runs the serial recurrence as ONE fused Pallas
-# kernel (ops/pallas_gru.py — weights + carry resident in VMEM for all T
-# steps); "cell" is the legacy per-step FusedGRUCell path (kept for A/B
-# profiling — scripts/profile_gru_ab.py — and as the monkeypatch point for the
-# flax variant). Equivalence is pinned in tests/test_recurrent.py and
+# Which ScannedRNN implementation to trace. "auto" (default) resolves to
+# "pallas" on TPU — the measured winner on the full compiled rec-IPPO step
+# (277k vs 202k steps/s vs "hoisted", scripts/profile_gru_ab.py, TPU v5 lite)
+# — and "hoisted" elsewhere (off-TPU the Pallas kernel runs in interpret mode,
+# which is only fit for tests). "hoisted" computes the input projection for
+# ALL timesteps as one wide MXU matmul before the serial scan; "pallas"
+# additionally runs the serial recurrence as ONE fused Pallas kernel
+# (ops/pallas_gru.py — weights + carry resident in VMEM for all T steps);
+# "cell" is the legacy per-step FusedGRUCell path (kept for A/B profiling —
+# scripts/profile_gru_ab.py — and as the monkeypatch point for the flax
+# variant). Equivalence is pinned in tests/test_recurrent.py and
 # tests/test_pallas_gru.py.
-GRU_IMPL = "hoisted"
+GRU_IMPL = "auto"
+
+
+def resolve_gru_impl(impl: Optional[str] = None) -> str:
+    """Resolve a gru_impl setting ("auto" picks per-backend) to a concrete one."""
+    impl = impl or GRU_IMPL
+    if impl == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "hoisted"
+    return impl
 
 
 class _CellScanRNN(nn.Module):
@@ -207,7 +219,8 @@ class ScannedRNN(nn.Module):
     def __call__(
         self, carry: jnp.ndarray, x: Tuple[jnp.ndarray, jnp.ndarray]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        if GRU_IMPL == "cell":
+        impl = resolve_gru_impl()
+        if impl == "cell":
             return _CellScanRNN(self.hidden_state_dim, self.collect_carries)(carry, x)
 
         ins, resets = x
@@ -227,7 +240,7 @@ class ScannedRNN(nn.Module):
         # The kernel pays off on real sequences (training/BPTT); T==1 calls
         # (the per-env-step rollout path) stay on the plain scan — one pallas
         # dispatch per rollout step would add latency where none is needed.
-        if GRU_IMPL == "pallas" and ins.shape[0] > 1:
+        if impl == "pallas" and ins.shape[0] > 1:
             from mava_tpu.ops.pallas_gru import gru_sequence
 
             t_len = ins.shape[0]

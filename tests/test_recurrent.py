@@ -220,7 +220,7 @@ def test_hoisted_scan_matches_legacy_cell_scan():
         hoisted = ScannedRNN(hidden_state_dim=H, collect_carries=collect)
         params_h = hoisted.init(jax.random.PRNGKey(2), carry0, (xs, resets))
 
-        assert actor_critic.GRU_IMPL == "hoisted"
+        assert actor_critic.resolve_gru_impl() == "hoisted"  # "auto" off-TPU
         actor_critic.GRU_IMPL = "cell"
         try:
             legacy = ScannedRNN(hidden_state_dim=H, collect_carries=collect)
@@ -242,7 +242,7 @@ def test_hoisted_scan_matches_legacy_cell_scan():
             out_c = legacy.apply(params_c, carry0, (xs, resets))
             grad_c = jax.grad(loss_c)(params_c)
         finally:
-            actor_critic.GRU_IMPL = "hoisted"
+            actor_critic.GRU_IMPL = "auto"
 
         def loss_h(p):
             final, ys = hoisted.apply(p, carry0, (xs, resets))
@@ -292,13 +292,13 @@ def test_pallas_impl_matches_hoisted_through_scannedrnn():
         out_h = rnn.apply(params, carry0, (xs, resets))
         grad_h = jax.grad(loss)(params)
 
-        assert actor_critic.GRU_IMPL == "hoisted"
+        assert actor_critic.resolve_gru_impl() == "hoisted"  # "auto" off-TPU
         actor_critic.GRU_IMPL = "pallas"
         try:
             out_p = rnn.apply(params, carry0, (xs, resets))
             grad_p = jax.grad(loss)(params)
         finally:
-            actor_critic.GRU_IMPL = "hoisted"
+            actor_critic.GRU_IMPL = "auto"
 
         for g, w in zip(jax.tree.leaves(out_p), jax.tree.leaves(out_h)):
             np.testing.assert_allclose(

@@ -419,5 +419,5 @@ def test_rec_ippo_pallas_gru(fast_config_overrides):
         # The config wiring must actually have selected the pallas path.
         assert actor_critic.GRU_IMPL == "pallas"
     finally:
-        actor_critic.GRU_IMPL = "hoisted"
+        actor_critic.GRU_IMPL = "auto"
     assert isinstance(perf, float)
