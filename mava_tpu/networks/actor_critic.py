@@ -246,10 +246,15 @@ class ScannedRNN(nn.Module):
             t_len = ins.shape[0]
             lead = ins.shape[1:-1]  # e.g. (B, A)
             gi = gates_i.reshape(t_len, -1, 3 * hidden)
-            keep = jnp.broadcast_to(
-                1.0 - resets.reshape(t_len, -1, 1).astype(jnp.float32),
-                gi.shape[:2] + (hidden,),
-            )
+            # resets may carry fewer/singleton trailing dims than ins (rec-IQL
+            # feeds (T, B, 1) against (T, B, A, F) inputs — the scan path
+            # broadcasts it against the carry); expand to one flag per
+            # flattened batch row before handing it to the kernel.
+            keep_rows = jnp.broadcast_to(
+                1.0 - resets.astype(jnp.float32)[..., jnp.newaxis],
+                ins.shape[:-1] + (1,),
+            ).reshape(t_len, -1, 1)
+            keep = jnp.broadcast_to(keep_rows, gi.shape[:2] + (hidden,))
             h0 = carry.reshape(-1, hidden)
             hs = gru_sequence(gi, keep, h0, w_h, b_hn)
             final_h = hs[-1].reshape(*lead, hidden)

@@ -308,3 +308,28 @@ def test_pallas_impl_matches_hoisted_through_scannedrnn():
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6
             )
+
+
+def test_pallas_impl_broadcast_resets():
+    """rec-IQL feeds resets with a trailing singleton agent axis — (T, B, 1)
+    against (T, B, A, F) inputs — relying on the scan path's carry broadcast.
+    The pallas branch must expand that to one flag per flattened batch row
+    (regression: it used to reshape resets directly and crash)."""
+    from mava_tpu.networks import actor_critic
+
+    T, B, A, F, H = 5, 3, 4, 6, 8
+    xs = jax.random.normal(jax.random.PRNGKey(11), (T, B, A, F))
+    resets = jax.random.bernoulli(jax.random.PRNGKey(12), 0.4, (T, B, 1))
+    carry0 = ScannedRNN.initialize_carry((B, A), H)
+
+    rnn = ScannedRNN(hidden_state_dim=H)
+    params = rnn.init(jax.random.PRNGKey(13), carry0, (xs, resets))
+
+    out_h = rnn.apply(params, carry0, (xs, resets))
+    actor_critic.GRU_IMPL = "pallas"
+    try:
+        out_p = rnn.apply(params, carry0, (xs, resets))
+    finally:
+        actor_critic.GRU_IMPL = "auto"
+    for g, w in zip(jax.tree.leaves(out_p), jax.tree.leaves(out_h)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6)

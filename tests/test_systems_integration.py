@@ -421,3 +421,33 @@ def test_rec_ippo_pallas_gru(fast_config_overrides):
     finally:
         actor_critic.GRU_IMPL = "auto"
     assert isinstance(perf, float)
+
+
+def test_rec_iql_pallas_gru(fast_config_overrides):
+    """rec-IQL end-to-end with GRU_IMPL='pallas' — its replay-train BPTT feeds
+    resets with a trailing singleton agent axis, the shape that once crashed
+    the pallas branch (see test_recurrent.test_pallas_impl_broadcast_resets).
+    With gru_impl defaulting to auto (= pallas on TPU), this is the shipping
+    TPU path for the off-policy recurrent family."""
+    from mava_tpu.networks import actor_critic
+
+    try:
+        perf = _run(
+            "q_learning.rec_iql",
+            "default_rec_iql",
+            fast_config_overrides
+            + [
+                "env.kwargs.time_limit=16",
+                "system.num_updates=8",
+                "system.rollout_length=2",
+                "system.buffer_size=64",
+                "system.min_buffer_size=4",
+                "system.sample_batch_size=4",
+                "system.sample_sequence_length=4",
+                "network.gru_impl=pallas",
+            ],
+        )
+        assert actor_critic.GRU_IMPL == "pallas"
+    finally:
+        actor_critic.GRU_IMPL = "auto"
+    assert isinstance(perf, float)
