@@ -88,6 +88,19 @@ def pbt_exploit_explore(
     return params, opt_states, src, factors
 
 
+def resolve_rank_metric(config: Config) -> str:
+    """Key of the evaluator output used to rank PBT members.
+
+    Configs name the headline metric ``win_rate`` (SMAX/gigastep), but the
+    evaluator returns the per-episode boolean array under ``won_episode``
+    (`evaluator.py:92`) — ``win_rate`` is only materialized later by the
+    logger. Ranking uses the mean of the per-episode array, which for
+    ``won_episode`` IS the win rate.
+    """
+    metric = config.env.get("eval_metric", "episode_return")
+    return "won_episode" if metric == "win_rate" else metric
+
+
 def run_experiment(config: Config, centralised_critic: bool = False) -> float:
     import copy
     import time
@@ -145,7 +158,7 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
     returns = np.zeros(pop)
     # Rank members by the env's headline metric (win_rate on SMAX/gigastep,
     # episode_return elsewhere) — the same metric BASELINE tables report.
-    rank_metric = config.env.get("eval_metric", "episode_return")
+    rank_metric = resolve_rank_metric(config)
 
     for eval_step in range(config.arch.num_evaluation):
         start = time.time()

@@ -23,7 +23,10 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mava_tpu.advanced_usage.ff_ippo_pbt import pbt_exploit_explore
+from mava_tpu.advanced_usage.ff_ippo_pbt import (
+    pbt_exploit_explore,
+    resolve_rank_metric,
+)
 from mava_tpu.utils.config import Config, load_config
 
 
@@ -89,7 +92,7 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
     returns = np.zeros(pop)
     lrs = np.asarray(init_lrs)
     # Rank members by the env's headline metric (win_rate on SMAX/gigastep).
-    rank_metric = config.env.get("eval_metric", "episode_return")
+    rank_metric = resolve_rank_metric(config)
 
     for eval_step in range(config.arch.num_evaluation):
         start = time.time()

@@ -155,7 +155,14 @@ GRU_IMPL = "auto"
 
 
 def resolve_gru_impl(impl: Optional[str] = None) -> str:
-    """Resolve a gru_impl setting ("auto" picks per-backend) to a concrete one."""
+    """Resolve a gru_impl setting ("auto" picks per-backend) to a concrete one.
+
+    "auto" resolves against `jax.default_backend()` at TRACE time, i.e. it
+    assumes the computation runs on the process's default backend. Code that
+    explicitly jits/places a recurrent network on CPU inside a TPU-default
+    process must pass a concrete impl ("hoisted") instead — the compiled
+    (non-interpret) Pallas path does not lower on CPU.
+    """
     impl = impl or GRU_IMPL
     if impl == "auto":
         return "pallas" if jax.default_backend() == "tpu" else "hoisted"

@@ -11,9 +11,12 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from mava_tpu.advanced_usage.ff_ippo_pbt import pbt_exploit_explore
+from mava_tpu.advanced_usage.ff_ippo_pbt import (
+    pbt_exploit_explore,
+    resolve_rank_metric,
+)
 from mava_tpu.systems.ppo.types import OptStates, Params
-from mava_tpu.utils.config import Config
+from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.training import make_swept_optimizer, set_peak_lr
 
 
@@ -103,3 +106,43 @@ def test_explore_perturbs_only_copied_members():
     f = np.asarray(factors)
     assert 0.5 <= f[1] <= 2.0 and f[1] != 1.0
     np.testing.assert_array_equal(f[[0, 2, 3]], np.ones(3))
+
+def test_resolve_rank_metric_maps_win_rate_to_won_episode():
+    """Configs name the SMAX/gigastep headline metric 'win_rate', but the
+    evaluator's output dict carries the per-episode booleans under
+    'won_episode' — ranking must use the key that actually exists
+    (regression: round-2 rec-PBT hardware runs crashed with
+    KeyError: 'win_rate', results/r2_queue/job19_rec_pbt.log)."""
+    assert (
+        resolve_rank_metric(Config.from_dict({"env": {"eval_metric": "win_rate"}}))
+        == "won_episode"
+    )
+    assert (
+        resolve_rank_metric(
+            Config.from_dict({"env": {"eval_metric": "episode_return"}})
+        )
+        == "episode_return"
+    )
+    assert resolve_rank_metric(Config.from_dict({"env": {}})) == "episode_return"
+
+
+def test_rec_pbt_end_to_end_on_win_rate_env(fast_config_overrides):
+    """rec-PBT end-to-end on SMAX — the env family whose eval_metric is
+    'win_rate'. Covers the full crash path from the round-2 hardware run:
+    evaluator output -> rank metric lookup -> exploit/explore (2 eval
+    intervals so the PBT step itself executes once)."""
+    from mava_tpu.advanced_usage import rec_ippo_pbt
+
+    cfg = load_config(
+        "default_rec_ippo",
+        fast_config_overrides
+        + [
+            "env=smax",
+            "env.scenario=2s3z",
+            "system.recurrent_chunk_size=2",
+            "arch.num_evaluation=2",
+            "+system.pbt_population=4",
+        ],
+    )
+    perf = rec_ippo_pbt.run_experiment(cfg)
+    assert isinstance(perf, float)

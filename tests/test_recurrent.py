@@ -221,6 +221,7 @@ def test_hoisted_scan_matches_legacy_cell_scan():
         params_h = hoisted.init(jax.random.PRNGKey(2), carry0, (xs, resets))
 
         assert actor_critic.resolve_gru_impl() == "hoisted"  # "auto" off-TPU
+        prev_impl = actor_critic.GRU_IMPL
         actor_critic.GRU_IMPL = "cell"
         try:
             legacy = ScannedRNN(hidden_state_dim=H, collect_carries=collect)
@@ -242,7 +243,7 @@ def test_hoisted_scan_matches_legacy_cell_scan():
             out_c = legacy.apply(params_c, carry0, (xs, resets))
             grad_c = jax.grad(loss_c)(params_c)
         finally:
-            actor_critic.GRU_IMPL = "auto"
+            actor_critic.GRU_IMPL = prev_impl
 
         def loss_h(p):
             final, ys = hoisted.apply(p, carry0, (xs, resets))
@@ -293,12 +294,13 @@ def test_pallas_impl_matches_hoisted_through_scannedrnn():
         grad_h = jax.grad(loss)(params)
 
         assert actor_critic.resolve_gru_impl() == "hoisted"  # "auto" off-TPU
+        prev_impl = actor_critic.GRU_IMPL
         actor_critic.GRU_IMPL = "pallas"
         try:
             out_p = rnn.apply(params, carry0, (xs, resets))
             grad_p = jax.grad(loss)(params)
         finally:
-            actor_critic.GRU_IMPL = "auto"
+            actor_critic.GRU_IMPL = prev_impl
 
         for g, w in zip(jax.tree.leaves(out_p), jax.tree.leaves(out_h)):
             np.testing.assert_allclose(
@@ -326,10 +328,11 @@ def test_pallas_impl_broadcast_resets():
     params = rnn.init(jax.random.PRNGKey(13), carry0, (xs, resets))
 
     out_h = rnn.apply(params, carry0, (xs, resets))
+    prev_impl = actor_critic.GRU_IMPL
     actor_critic.GRU_IMPL = "pallas"
     try:
         out_p = rnn.apply(params, carry0, (xs, resets))
     finally:
-        actor_critic.GRU_IMPL = "auto"
+        actor_critic.GRU_IMPL = prev_impl
     for g, w in zip(jax.tree.leaves(out_p), jax.tree.leaves(out_h)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6)

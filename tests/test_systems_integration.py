@@ -405,6 +405,7 @@ def test_rec_ippo_pallas_gru(fast_config_overrides):
     kernel in isolation."""
     from mava_tpu.networks import actor_critic
 
+    prev_impl = actor_critic.GRU_IMPL
     try:
         perf = _run(
             "ppo.rec_ippo",
@@ -419,7 +420,7 @@ def test_rec_ippo_pallas_gru(fast_config_overrides):
         # The config wiring must actually have selected the pallas path.
         assert actor_critic.GRU_IMPL == "pallas"
     finally:
-        actor_critic.GRU_IMPL = "auto"
+        actor_critic.GRU_IMPL = prev_impl
     assert isinstance(perf, float)
 
 
@@ -431,6 +432,7 @@ def test_rec_iql_pallas_gru(fast_config_overrides):
     TPU path for the off-policy recurrent family."""
     from mava_tpu.networks import actor_critic
 
+    prev_impl = actor_critic.GRU_IMPL
     try:
         perf = _run(
             "q_learning.rec_iql",
@@ -449,5 +451,5 @@ def test_rec_iql_pallas_gru(fast_config_overrides):
         )
         assert actor_critic.GRU_IMPL == "pallas"
     finally:
-        actor_critic.GRU_IMPL = "auto"
+        actor_critic.GRU_IMPL = prev_impl
     assert isinstance(perf, float)
