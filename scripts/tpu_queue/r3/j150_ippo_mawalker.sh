@@ -1,0 +1,6 @@
+#!/bin/bash
+# ff-IPPO continuous MaWalker (balance+walk) — r2 job9 rerun.
+cd /root/repo
+timeout 3000 python -m mava_tpu.systems.ppo.ff_ippo env=mawalker \
+  network=continuous_mlp system.total_timesteps=5000000 arch.num_envs=256 \
+  arch.num_evaluation=20 logger.use_json=True
