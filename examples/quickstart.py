@@ -1,0 +1,70 @@
+"""Mava-TPU quickstart: train ff-IPPO on RobotWarehouse tiny-2ag in one command.
+
+The runnable counterpart of the reference's `examples/Quickstart.ipynb` (which
+walks through building MAPPO on Jumanji RWARE cell by cell): here the same
+journey is a guided tour of the framework's real modules, because every piece
+the notebook hand-rolls already exists as a tested component:
+
+* networks      -> `mava_tpu/networks/` (torsos, heads, FeedForwardActor/ValueNet)
+* learner       -> `mava_tpu/systems/ppo/ff_ippo.py::get_learner_fn`
+                   (rollout scan -> GAE -> minibatched PPO epochs, one compiled step)
+* device layout -> `mava_tpu/parallel/mesh.py` (data-sharded envs on a Mesh +
+                   shard_map; a pod slice runs the same program)
+* evaluation    -> `mava_tpu/evaluator.py` (greedy eval episodes, win/return table)
+* config        -> `mava_tpu/configs/` (composable yaml groups, CLI overrides)
+
+Run it (defaults: 500k env steps, 10 evaluations, console logging):
+
+    python examples/quickstart.py
+
+Every config knob is overridable hydra-style, e.g. a longer MAPPO run on the
+harder 4-agent map:
+
+    python examples/quickstart.py system.total_timesteps=2000000 \
+        env/scenario=tiny-4ag
+
+The console prints an eval table as training progresses; the script returns
+the final evaluation episode return. On a TPU chip the default run takes
+roughly a minute of device time after the first compile.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from mava_tpu.parallel import distributed
+from mava_tpu.systems.ppo import ff_ippo
+from mava_tpu.utils.config import load_config
+
+QUICKSTART_DEFAULTS = [
+    "env=rware",
+    "env/scenario=tiny-2ag",
+    "system.total_timesteps=500000",
+    "arch.num_envs=64",
+    "arch.num_evaluation=10",
+    "logger.use_console=True",
+]
+
+
+def main() -> float:
+    # Multi-host bootstrap first (no-op on a single host) — the quickstart is
+    # the same program that runs on a pod slice.
+    distributed.initialize()
+
+    # CLI overrides are appended after the quickstart defaults, so anything can
+    # be changed: algorithm knobs, env scenario, eval cadence ...
+    cfg = load_config("default_ff_ippo", QUICKSTART_DEFAULTS + sys.argv[1:])
+
+    print(
+        f"Training ff-IPPO on RWARE {cfg.env.scenario.task_name} "
+        f"for {int(cfg.system.total_timesteps):,} env steps "
+        f"({cfg.arch.num_envs} vectorised envs)...",
+        flush=True,
+    )
+    final_eval_return = ff_ippo.run_experiment(cfg)
+    print(f"Final evaluation episode return: {final_eval_return:.2f}", flush=True)
+    return final_eval_return
+
+
+if __name__ == "__main__":
+    main()

@@ -263,7 +263,14 @@ def make_update_fns(
         next_q_val = jnp.minimum(next_q1_val, next_q2_val)
         next_q_val = next_q_val - jnp.exp(params.log_alpha) * next_log_prob
 
-        target_q_val = data.reward + (1.0 - data.done) * cfg.system.gamma * next_q_val
+        # reward_scale (default 1.0 = reference semantics) shrinks the TD target —
+        # and hence the Q magnitude the critic must extrapolate — the standard
+        # mitigation for the joint-action-critic overtraining divergence observed
+        # on MaSwarm at epochs=32 (BASELINE.md parity notes; ablation row).
+        target_q_val = (
+            cfg.system.reward_scale * data.reward
+            + (1.0 - data.done) * cfg.system.gamma * next_q_val
+        )
 
         q_grad_fn = jax.grad(q_loss_fn, has_aux=True)
         q_grads, q_loss_info = q_grad_fn(

@@ -52,6 +52,17 @@ CONFIGS = {
         "default_ff_ippo",
         ["env=cleaner", "network=cnn", "arch.num_envs=128"],
     ),
+    # Off-policy rows (VERDICT r2 next-4): measured at their BASELINE.md
+    # operating points. These families fuse act+train in one step, so the
+    # accounting covers the whole algorithm exactly like the PPO rows.
+    "rec_iql_smax": (
+        "default_rec_iql",
+        ["env=smax", "env/scenario=2s3z", "arch.num_envs=64"],
+    ),
+    "ff_isac_maswarm": (
+        "default_ff_isac",
+        ["env=maswarm", "arch.num_envs=64"],
+    ),
 }
 
 
@@ -62,32 +73,97 @@ def _cost(compiled) -> dict:
     return dict(ca or {})
 
 
-def bench_one(name: str) -> None:
+OFFPOLICY_SCAN_STEPS = 32
+
+
+def _build_ppo(default, overrides, mesh, n_devices):
     import importlib
 
     from mava_tpu import envs as environments
-    from mava_tpu.parallel import make_mesh, num_learner_devices
     from mava_tpu.utils.config import load_config
 
-    default, overrides = CONFIGS[name]
     module = importlib.import_module(
         "mava_tpu.systems.ppo.rec_ippo" if "rec" in default else
         "mava_tpu.systems.ppo.ff_ippo"
     )
-
     cfg = load_config(
         default,
         overrides + [f"system.rollout_length={ROLLOUT}", "logger.use_console=False"],
     )
-    mesh = make_mesh()
-    n_devices = num_learner_devices(mesh)
     cfg.arch.n_devices = n_devices
     cfg.system.num_updates = UPDATES_PER_CALL * (TIMED_CALLS + 1)
     cfg.system.num_updates_per_eval = UPDATES_PER_CALL
 
     env, _ = environments.make(cfg)
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
-    learn, _, learner_state = module.learner_setup(env, tuple(keys), cfg, mesh, False)
+    learn, _, state = module.learner_setup(env, tuple(keys), cfg, mesh, False)
+    steps = n_devices * UPDATES_PER_CALL * ROLLOUT * cfg.arch.num_envs
+    return learn, state, steps, lambda out: out.learner_state
+
+
+def _build_rec_iql(overrides, mesh, n_devices):
+    from mava_tpu.systems.q_learning import rec_iql
+    from mava_tpu.utils.config import load_config
+
+    cfg = load_config("default_rec_iql", overrides + ["logger.use_console=False"])
+    cfg.arch.n_devices = n_devices
+    cfg.system.scan_steps = OFFPOLICY_SCAN_STEPS
+    (env, _), q_net, opt, rb, state, _ = rec_iql.init(cfg, mesh)
+    update = rec_iql.build_learn_fn(cfg, env, q_net, opt, rb, mesh, state.buffer_state)
+    steps = n_devices * OFFPOLICY_SCAN_STEPS * cfg.system.rollout_length * cfg.arch.num_envs
+    return update, state, steps, lambda out: out[0]
+
+
+def _build_ff_isac(overrides, mesh, n_devices):
+    from jax.sharding import PartitionSpec as P
+
+    from mava_tpu.parallel import build_learner
+    from mava_tpu.systems.sac import ff_isac
+    from mava_tpu.utils.config import load_config
+    from mava_tpu.utils.timestep_checker import check_total_timesteps
+
+    cfg = load_config("default_ff_isac", overrides + ["logger.use_console=False"])
+    cfg.arch.n_devices = n_devices
+    cfg = check_total_timesteps(cfg)
+    cfg.system.scan_steps = OFFPOLICY_SCAN_STEPS
+
+    (env, _), networks, optims, rb, state, target_entropy, _ = ff_isac.init(cfg, mesh)
+    explore_fn, update_fn = ff_isac.make_update_fns(
+        cfg, env, networks, optims, rb, target_entropy, centralised_critic=False
+    )
+    specs = ff_isac._state_specs(state.buffer_state)
+    explore = build_learner(
+        explore_fn, mesh, in_specs=(specs,), out_specs=(specs, P(None, "data"))
+    )
+    update = build_learner(
+        update_fn,
+        mesh,
+        in_specs=(specs,),
+        out_specs=(specs, (P(None, None, "data"), P())),
+    )
+    state, _ = explore(state)  # fill the buffer past min size before timing
+    steps = n_devices * OFFPOLICY_SCAN_STEPS * cfg.system.rollout_length * cfg.arch.num_envs
+    return update, state, steps, lambda out: out[0]
+
+
+def bench_one(name: str) -> None:
+    from mava_tpu.parallel import make_mesh, num_learner_devices
+
+    default, overrides = CONFIGS[name]
+    mesh = make_mesh()
+    n_devices = num_learner_devices(mesh)
+    if default == "default_rec_iql":
+        learn, learner_state, env_steps_per_call, next_state = _build_rec_iql(
+            overrides, mesh, n_devices
+        )
+    elif default == "default_ff_isac":
+        learn, learner_state, env_steps_per_call, next_state = _build_ff_isac(
+            overrides, mesh, n_devices
+        )
+    else:
+        learn, learner_state, env_steps_per_call, next_state = _build_ppo(
+            default, overrides, mesh, n_devices
+        )
 
     compiled = learn.lower(learner_state).compile()
     cost = _cost(compiled)
@@ -96,11 +172,9 @@ def bench_one(name: str) -> None:
     jax.block_until_ready(out)
     start = time.perf_counter()
     for _ in range(TIMED_CALLS):
-        out = compiled(out.learner_state)
+        out = compiled(next_state(out))
     jax.block_until_ready(out)
     per_call = (time.perf_counter() - start) / TIMED_CALLS
-
-    env_steps_per_call = n_devices * UPDATES_PER_CALL * ROLLOUT * cfg.arch.num_envs
     flops_per_call = float(cost.get("flops", 0.0))
     bytes_per_call = float(cost.get("bytes accessed", 0.0))
 

@@ -1,0 +1,201 @@
+"""REAL multi-process `jax.distributed` smoke test (VERDICT r2 next-3).
+
+Round 2 proved the multi-host placement math with monkeypatched process
+counts (`tests/test_distributed.py`); this script executes it for real: two
+OS processes, a localhost coordinator, 4 virtual CPU devices each -> one
+global 8-device mesh, driving a full ff-IPPO train step end-to-end through
+`distributed.initialize()` + `sharded_env_reset` + the shard_mapped learner.
+That exercises `jax.make_array_from_process_local_data` and the cross-process
+collective path (the DCN analogue) with `jax.process_count() == 2`.
+
+Pass criterion: the replicated train metrics and a param checksum after ONE
+compiled learner call match a single-process 8-device control run of the same
+program (tolerance 1e-5 — cross-process all-reduce ordering may differ from
+the in-process reduction, so bit-exactness is not guaranteed on CPU gloo).
+
+Usage:
+    python scripts/multiproc_smoke.py            # parent: runs control + both workers
+    (workers are spawned internally with --process-id)
+
+Single-process-by-design contrast: reference `mava/systems/ppo/ff_ippo.py:354`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_OVERRIDES = [
+    "env=rware",
+    "env/scenario=tiny-2ag",
+    "env.kwargs.time_limit=8",
+    "arch.num_envs=2",
+    "system.rollout_length=4",
+    "system.num_updates=1",
+    "arch.num_evaluation=1",
+    "+system.ppo_epochs=1",
+    "+system.num_minibatches=2",
+    "logger.use_console=False",
+]
+
+
+def worker(num_processes: int, process_id: int, port: int) -> None:
+    """Build the tiny ff-IPPO learner on the global mesh and run one step."""
+    # Backend setup must precede any jax import side effects: 4 virtual CPU
+    # devices per process (8 global with 2 processes), platform selected
+    # in-process (the JAX_PLATFORMS env var hangs with the TPU tunnel plugin —
+    # CLAUDE.md), and no shared compilation cache (two one-core processes
+    # compiling the same program would race the cache writer).
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from mava_tpu.parallel import distributed
+
+    if num_processes > 1:
+        distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        assert jax.process_count() == num_processes, jax.process_count()
+
+    import numpy as np
+
+    from mava_tpu import envs as environments
+    from mava_tpu.parallel import make_mesh, num_learner_devices
+    from mava_tpu.systems.ppo.ff_ippo import learner_setup
+    from mava_tpu.utils.config import load_config
+
+    assert len(jax.devices()) == 8, jax.devices()
+
+    cfg = load_config("default_ff_ippo", list(TINY_OVERRIDES))
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg.system.num_updates = 1
+    cfg.system.num_updates_per_eval = 1
+
+    env, _ = environments.make(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    learn, _, learner_state = learner_setup(env, tuple(keys), cfg, mesh)
+
+    out = learn(learner_state)
+    jax.block_until_ready(out)
+
+    # Replicated outputs: every process holds the full value in its local shard.
+    def rep(x):
+        return np.asarray(x.addressable_data(0))
+
+    train_metrics = {
+        k: float(np.mean(rep(v))) for k, v in out.train_metrics.items()
+    }
+    param_checksum = float(
+        sum(
+            np.abs(rep(leaf)).sum()
+            for leaf in jax.tree.leaves(out.learner_state.params)
+        )
+    )
+    result = {
+        "process_count": jax.process_count(),
+        "process_id": jax.process_index(),
+        "n_global_devices": len(jax.devices()),
+        "train_metrics": train_metrics,
+        "param_checksum": param_checksum,
+    }
+    print("SMOKE_RESULT " + json.dumps(result), flush=True)
+
+
+def spawn(num_processes: int, process_id: int, port: int, devices: int):
+    env = dict(os.environ)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count={devices}"
+    env["MAVA_TPU_NO_COMPILATION_CACHE"] = "1"
+    return subprocess.Popen(
+        [
+            sys.executable,
+            os.path.abspath(__file__),
+            "--worker",
+            f"--num-processes={num_processes}",
+            f"--process-id={process_id}",
+            f"--port={port}",
+        ],
+        env=env,
+        cwd=REPO,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+
+
+def parse_result(output: str) -> dict:
+    for line in output.splitlines():
+        if line.startswith("SMOKE_RESULT "):
+            return json.loads(line[len("SMOKE_RESULT "):])
+    raise RuntimeError(f"no SMOKE_RESULT in output:\n{output}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--port", type=int, default=43217)
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.num_processes, args.process_id, args.port)
+        return
+
+    # Control: ONE process, 8 virtual devices — the same global program.
+    print("=== control: single process, 8 devices", flush=True)
+    ctrl_proc = spawn(1, 0, args.port, devices=8)
+    ctrl_out, _ = ctrl_proc.communicate(timeout=1800)
+    assert ctrl_proc.returncode == 0, f"control failed:\n{ctrl_out}"
+    control = parse_result(ctrl_out)
+    print(json.dumps(control), flush=True)
+
+    # Two processes x 4 devices. Serialize-averse box note: the two workers
+    # must run CONCURRENTLY (they rendezvous at the coordinator); on a
+    # one-core machine the compile is simply slower.
+    print("=== multiproc: 2 processes x 4 devices", flush=True)
+    p0 = spawn(2, 0, args.port + 1, devices=4)
+    p1 = spawn(2, 1, args.port + 1, devices=4)
+    out0, _ = p0.communicate(timeout=3600)
+    out1, _ = p1.communicate(timeout=600)
+    assert p0.returncode == 0, f"worker0 failed:\n{out0}"
+    assert p1.returncode == 0, f"worker1 failed:\n{out1}"
+    multi = parse_result(out0)
+    print(json.dumps(multi), flush=True)
+    assert multi["process_count"] == 2, multi
+
+    # Same global program => same losses and params (tolerance: collective
+    # reduction order across processes).
+    import math
+
+    ok = True
+    for k, v in control["train_metrics"].items():
+        mv = multi["train_metrics"][k]
+        close = math.isclose(v, mv, rel_tol=1e-5, abs_tol=1e-6)
+        print(f"{k}: control={v:.8f} multi={mv:.8f} close={close}", flush=True)
+        ok &= close
+    close = math.isclose(
+        control["param_checksum"], multi["param_checksum"], rel_tol=1e-5
+    )
+    print(
+        f"param_checksum: control={control['param_checksum']:.6f} "
+        f"multi={multi['param_checksum']:.6f} close={close}",
+        flush=True,
+    )
+    ok &= close
+
+    print(json.dumps({"multiproc_smoke": "PASS" if ok else "FAIL"}), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

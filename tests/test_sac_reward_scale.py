@@ -1,0 +1,77 @@
+"""`system.reward_scale` (SAC TD-target scaling, default 1.0).
+
+The knob exists for the MaSwarm epochs=32 joint-critic divergence ablation
+(BASELINE.md parity notes): scaling the reward term of the TD target shrinks
+the Q magnitude the critic extrapolates, everything else untouched. These
+tests pin the contract: the update is deterministic, and reward_scale changes
+ONLY the critic target (same data, same RNG -> different Q params).
+"""
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from mava_tpu.parallel import build_learner, make_mesh, num_learner_devices
+from mava_tpu.systems.sac import ff_isac
+from mava_tpu.utils.config import load_config
+from mava_tpu.utils.timestep_checker import check_total_timesteps
+
+TINY = [
+    "system.num_updates=4",
+    "arch.num_evaluation=1",
+    "system.rollout_length=2",
+    "arch.num_envs=2",
+    "system.buffer_size=64",
+    "system.explore_steps=8",
+    "system.batch_size=4",
+    "system.epochs=2",
+    "env.kwargs.time_limit=16",
+    "logger.use_console=False",
+]
+
+
+def _one_update(reward_scale: float):
+    cfg = load_config(
+        "default_ff_isac", TINY + [f"system.reward_scale={reward_scale}"]
+    )
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg = check_total_timesteps(cfg)
+    cfg.system.scan_steps = 2
+
+    (env, _), networks, optims, rb, state, target_entropy, _ = ff_isac.init(cfg, mesh)
+    explore_fn, update_fn = ff_isac.make_update_fns(
+        cfg, env, networks, optims, rb, target_entropy, centralised_critic=False
+    )
+    specs = ff_isac._state_specs(state.buffer_state)
+    explore = build_learner(
+        explore_fn, mesh, in_specs=(specs,), out_specs=(specs, P(None, "data"))
+    )
+    update = build_learner(
+        update_fn,
+        mesh,
+        in_specs=(specs,),
+        out_specs=(specs, (P(None, None, "data"), P())),
+    )
+    state, _ = explore(state)
+    state, _ = update(state)
+    return jax.device_get(state.params)
+
+
+def test_reward_scale_default_is_deterministic_identity():
+    a = _one_update(1.0)
+    b = _one_update(1.0)
+    for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+        assert (x == y).all()
+
+
+def test_reward_scale_changes_only_the_critic_update():
+    base = _one_update(1.0)
+    scaled = _one_update(0.1)
+    # Same data and RNG: the Q params must differ (the TD target moved)...
+    q_diff = any(
+        not (x == y).all()
+        for x, y in zip(
+            jax.tree.leaves(base.q.online), jax.tree.leaves(scaled.q.online)
+        )
+    )
+    assert q_diff, "reward_scale=0.1 left the critic update unchanged"
