@@ -1,4 +1,4 @@
-"""Summarise the round-2 TPU queue logs for BASELINE.md recording.
+"""Summarise TPU queue logs (r2 or r3 layout) for BASELINE.md recording.
 
 For every job log in results/r2_queue: print the exit status (from the queue
 runner logs), any JSON result lines, and the final eval/return lines — the
@@ -26,15 +26,16 @@ INTERESTING = re.compile(
 def main() -> None:
     exits = {}
     for runner in sorted(QDIR.glob("*.log")):
-        if not runner.name.startswith(("queue", "master", "waiter")):
+        if not runner.name.startswith(("queue", "master", "waiter", "runner")):
             continue
         for line in runner.read_text(errors="replace").splitlines():
-            m = re.match(r"(job\w+) exit=(\d+)", line)
+            m = re.search(r"=== (j\w+) exit=(\d+)|^(job\w+) exit=(\d+)", line)
             if m:
-                exits[m.group(1)] = int(m.group(2))
+                name = m.group(1) or m.group(3)
+                exits[name] = int(m.group(2) or m.group(4))
 
-    for log in sorted(QDIR.glob("job*.log")):
-        job = log.name.split("_")[0]
+    for log in sorted(QDIR.glob("job*.log")) + sorted(QDIR.glob("j[0-9]*.log")):
+        job = log.name.split("_")[0] if log.name.startswith("job") else log.stem
         status = exits.get(job, "?")
         print(f"\n=== {log.name} (exit={status}) " + "=" * 30)
         lines = log.read_text(errors="replace").splitlines()
