@@ -30,7 +30,10 @@ roughly a minute of device time after the first compile.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mava_tpu.parallel import distributed
 from mava_tpu.systems.ppo import ff_ippo
