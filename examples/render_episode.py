@@ -13,7 +13,8 @@ Usage (config overrides compose exactly like the training CLIs):
     python examples/render_episode.py env=lbf policy=checkpoint \
         checkpoint_uid=<ts> out=results/render/lbf.gif
 
-Supported envs: RWARE, LBF, Cleaner, MaConnector, SMAX, MaSwarm.
+Supported envs: RWARE, LBF, Cleaner, MaConnector, SMAX, MaSwarm, Gigastep,
+MaReacher, MaSwimmer, MaHopper, MaWalker, MaCheetah, MaAnt, MaHumanoid.
 """
 
 from __future__ import annotations

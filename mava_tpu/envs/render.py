@@ -199,6 +199,124 @@ def _render_maswarm(env: Any, state: Any, scale: int = 60) -> np.ndarray:
     return np.asarray(img)
 
 
+def _line(draw, p0, p1, color, width=4):
+    draw.line([tuple(p0), tuple(p1)], fill=color, width=width)
+
+
+def _planar_segments(env: Any, q) -> Tuple[np.ndarray, np.ndarray]:
+    """((L,2) starts, (L,2) steps) world-frame link segments for the planar
+    articulated engines (chain via _body_frame, trees via _frames)."""
+    if hasattr(env, "_frames"):  # branched topology (cheetah/walker)
+        starts, steps, _ = env._frames(q)
+        return np.asarray(starts), np.asarray(steps)
+    centers, phi = env._body_frame(q)  # chain (hopper/swimmer)
+    u = jnp.stack([jnp.cos(phi), jnp.sin(phi)], axis=-1)
+    steps = env.link_lengths[:, None] * u
+    return np.asarray(centers - 0.5 * steps), np.asarray(steps)
+
+
+def _joint_agent_colors(env: Any, n_links: int) -> list:
+    """Colour link i by the agent owning joint i-1 (link 0 = torso, grey)."""
+    jpa = getattr(env, "joints_per_agent", 1)
+    colors = [(90, 90, 100)]
+    for j in range(n_links - 1):
+        colors.append(AGENT_COLORS[(j // jpa) % len(AGENT_COLORS)])
+    return colors
+
+
+def _render_planar_locomotion(env: Any, state: Any, scale: int = 60) -> np.ndarray:
+    """Side-view stick figure for hopper/walker/cheetah/swimmer: camera tracks
+    the base, ground line at y=0, links coloured by owning agent."""
+    from PIL import Image, ImageDraw
+
+    W, H = 480, 360
+    img = Image.new("RGB", (W, H), BG)
+    draw = ImageDraw.Draw(img)
+    q = jnp.asarray(state.q)
+    starts, steps = _planar_segments(env, q)
+    base = np.asarray(q[:2])
+
+    def to_px(p):
+        return (W / 2 + (p[0] - base[0]) * scale, H * 0.8 - p[1] * scale)
+
+    draw.line([(0, H * 0.8), (W, H * 0.8)], fill=(160, 160, 160), width=2)
+    colors = _joint_agent_colors(env, starts.shape[0])
+    for i in range(starts.shape[0]):
+        _line(draw, to_px(starts[i]), to_px(starts[i] + steps[i]), colors[i], width=6)
+    ex, ey = to_px(base)
+    draw.ellipse([ex - 5, ey - 5, ex + 5, ey + 5], fill=(30, 30, 30))
+    return np.asarray(img)
+
+
+def _render_mareacher(env: Any, state: Any, scale: int = 140) -> np.ndarray:
+    from PIL import Image, ImageDraw
+
+    W = H = 400
+    img = Image.new("RGB", (W, H), BG)
+    draw = ImageDraw.Draw(img)
+
+    def to_px(p):
+        return (W / 2 + p[0] * scale, H / 2 - p[1] * scale)
+
+    q = jnp.asarray(state.q)
+    phi = jnp.cumsum(q)
+    u = jnp.stack([jnp.cos(phi), jnp.sin(phi)], axis=-1)
+    ends = np.asarray(jnp.cumsum(env.link_lengths[:, None] * u, axis=0))
+    pts = np.concatenate([np.zeros((1, 2)), ends], axis=0)
+    tx, ty = to_px(np.asarray(state.target))
+    draw.ellipse([tx - 8, ty - 8, tx + 8, ty + 8], fill=(200, 60, 50))
+    jpa = getattr(env, "joints_per_agent", 1)
+    for i in range(pts.shape[0] - 1):
+        color = AGENT_COLORS[(i // jpa) % len(AGENT_COLORS)]
+        _line(draw, to_px(pts[i]), to_px(pts[i + 1]), color, width=7)
+    return np.asarray(img)
+
+
+def _render_pointcloud3d(env: Any, state: Any, scale: int = 90) -> np.ndarray:
+    """Side-view orthographic projection (x right, z up) of the 3D point-cloud
+    engines (MaAnt/MaHumanoid): mass points as discs, ground shadow."""
+    from PIL import Image, ImageDraw
+
+    W, H = 480, 360
+    img = Image.new("RGB", (W, H), BG)
+    draw = ImageDraw.Draw(img)
+    q = jnp.asarray(state.q)
+    pts = np.asarray(env._points(q))  # (P, 3)
+    cx = float(q[0])
+
+    def to_px(x, z):
+        return (W / 2 + (x - cx) * scale, H * 0.85 - z * scale)
+
+    draw.line([(0, H * 0.85), (W, H * 0.85)], fill=(160, 160, 160), width=2)
+    order = np.argsort(pts[:, 1])  # far (small y) first
+    for i in order:
+        x, y, z = pts[i]
+        px, py = to_px(x, z)
+        r = 4 + 2 * (y - pts[:, 1].min()) / (np.ptp(pts[:, 1]) + 1e-6)
+        shade = int(140 - 60 * (y - pts[:, 1].min()) / (np.ptp(pts[:, 1]) + 1e-6))
+        draw.ellipse([px - r, py - r, px + r, py + r], fill=(shade, shade, 200))
+    return np.asarray(img)
+
+
+def _render_gigastep(env: Any, state: Any, scale: int = 44) -> np.ndarray:
+    from mava_tpu.envs.gigastep import _ARENA
+
+    img, draw = _canvas(int(_ARENA), int(_ARENA), scale)
+    wx, wy = np.asarray(state.waypoint)
+    if getattr(env, "scenario", "") == "waypoint":
+        _disc(draw, _ARENA - 1 - wy, wx, scale, (120, 170, 120), shrink=0.25)
+    for team, active, color in (
+        (np.asarray(state.team_pos), np.asarray(state.team_active), (40, 90, 200)),
+        (np.asarray(state.adv_pos), np.asarray(state.adv_active), (200, 60, 50)),
+    ):
+        for i in range(team.shape[0]):
+            if not active[i]:
+                continue
+            x, y = team[i]
+            _disc(draw, _ARENA - 1 - y, x, scale, color, shrink=0.3)
+    return np.asarray(img)
+
+
 _RENDERERS = {
     "RobotWarehouse": _render_rware,
     "LevelBasedForaging": _render_lbf,
@@ -206,6 +324,14 @@ _RENDERERS = {
     "MaConnector": _render_connector,
     "Smax": _render_smax,
     "MaSwarm": _render_maswarm,
+    "MaReacher": _render_mareacher,
+    "MaSwimmer": _render_planar_locomotion,
+    "MaHopper": _render_planar_locomotion,
+    "MaWalker": _render_planar_locomotion,
+    "MaCheetah": _render_planar_locomotion,
+    "MaAnt": _render_pointcloud3d,
+    "MaHumanoid": _render_pointcloud3d,
+    "Gigastep": _render_gigastep,
 }
 
 
@@ -237,10 +363,11 @@ def rollout_episode(
     state, timestep = env.reset(key)
     frames = [render_frame(env, state)]
     total = 0.0
+    step = jax.jit(env.step)  # eager articulated dynamics are seconds per step
     for _ in range(max_steps):
         key, act_key = jax.random.split(key)
         action = act_fn(timestep, act_key)
-        state, timestep = env.step(state, action)
+        state, timestep = step(state, action)
         frames.append(render_frame(env, state))
         total += float(np.asarray(timestep.reward).mean())
         if bool(np.asarray(timestep.last())):

@@ -7,10 +7,17 @@ import jax
 import numpy as np
 import pytest
 
+from mava_tpu import specs
 from mava_tpu.envs.cleaner import Cleaner
 from mava_tpu.envs.connector import MaConnector
+from mava_tpu.envs.gigastep import Gigastep
 from mava_tpu.envs.lbf import LevelBasedForaging
+from mava_tpu.envs.macheetah import MaCheetah
+from mava_tpu.envs.mahopper import MaHopper
+from mava_tpu.envs.mareacher import MaReacher
 from mava_tpu.envs.maswarm import MaSwarm
+from mava_tpu.envs.maswimmer import MaSwimmer
+from mava_tpu.envs.mawalker import MaWalker
 from mava_tpu.envs.render import render_frame, rollout_episode, save_gif
 from mava_tpu.envs.rware import RobotWarehouse
 from mava_tpu.envs.smax import Smax
@@ -25,6 +32,12 @@ ENVS = [
     MaConnector(),
     Smax(scenario="2s3z"),
     MaSwarm(),
+    MaReacher(),
+    MaSwimmer(),
+    MaHopper(),
+    MaWalker(),
+    MaCheetah(),
+    Gigastep(scenario="waypoint"),
 ]
 
 
@@ -34,11 +47,10 @@ def test_render_frame_shapes(env):
     frame = render_frame(env, state)
     assert frame.dtype == np.uint8 and frame.ndim == 3 and frame.shape[2] == 3
     # Step once and render again — frames must stay stable in shape.
-    action = (
-        jax.numpy.zeros((env.num_agents, env.action_dim))
-        if type(env).__name__ == "MaSwarm"
-        else jax.numpy.zeros((env.num_agents,), dtype=jax.numpy.int32)
-    )
+    if isinstance(env.action_spec(), specs.DiscreteArray):
+        action = jax.numpy.zeros((env.num_agents,), dtype=jax.numpy.int32)
+    else:
+        action = jax.numpy.zeros((env.num_agents, env.action_dim))
     state, _ = env.step(state, action)
     assert render_frame(env, state).shape == frame.shape
 
