@@ -195,7 +195,12 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
         )
 
         # PBT exploit/explore between intervals (skip after the last one).
-        if eval_step + 1 < config.arch.num_evaluation:
+        # `+system.pbt_exploit=False` disables the step entirely, turning the
+        # run into a fixed-lr population control — the exact same compiled
+        # program and eval cadence, so the PBT-vs-fixed-grid comparison is a
+        # clean A/B (BASELINE round-3 PBT-utility row).
+        exploit_enabled = bool(config.system.get("pbt_exploit", True))
+        if exploit_enabled and eval_step + 1 < config.arch.num_evaluation:
             key_pbt, step_key = jax.random.split(key_pbt)
             new_params, new_opts, src, _ = pbt_exploit_explore(
                 state.params, state.opt_states, returns, step_key, frac, perturb

@@ -146,3 +146,22 @@ def test_rec_pbt_end_to_end_on_win_rate_env(fast_config_overrides):
     )
     perf = rec_ippo_pbt.run_experiment(cfg)
     assert isinstance(perf, float)
+
+
+def test_ff_pbt_fixed_lr_control(fast_config_overrides):
+    """`+system.pbt_exploit=False` turns the PBT runner into a fixed-lr
+    population control (same compiled program, no exploit/explore) — the A/B
+    arm of the PBT-utility comparison."""
+    from mava_tpu.advanced_usage import ff_ippo_pbt
+
+    cfg = load_config(
+        "default_ff_ippo",
+        fast_config_overrides
+        + [
+            "arch.num_evaluation=2",
+            "+system.pbt_population=4",
+            "+system.pbt_exploit=False",
+        ],
+    )
+    perf = ff_ippo_pbt.run_experiment(cfg)
+    assert isinstance(perf, float)
