@@ -27,7 +27,11 @@ BASELINE_SPS = 10.0 * EPYMARL_EQUIVALENT_SPS
 NUM_ENVS = 512
 ROLLOUT_LENGTH = 128
 UPDATES_PER_CALL = 4
-TIMED_CALLS = 5
+TIMED_CALLS = 10
+# The first executions after compile read ~15% slow (allocator/autotune
+# warm-up — measured by scripts/bench_band.py: repeat0 2.45M vs 2.86M steady
+# state), so a couple of calls are executed and discarded before timing.
+WARMUP_CALLS = 3
 
 
 def main() -> None:
@@ -47,7 +51,7 @@ def main() -> None:
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
     cfg.arch.n_devices = n_devices
-    cfg.system.num_updates = UPDATES_PER_CALL * (TIMED_CALLS + 1)
+    cfg.system.num_updates = UPDATES_PER_CALL * (TIMED_CALLS + WARMUP_CALLS)
     cfg.system.num_updates_per_eval = UPDATES_PER_CALL
 
     env, _ = environments.make(cfg)
@@ -55,10 +59,11 @@ def main() -> None:
     keys = jax.random.split(key, 3)
     learn, _, learner_state = learner_setup(env, tuple(keys), cfg, mesh)
 
-    # Warmup/compile.
+    # Warmup: compile + steady-state ramp (see WARMUP_CALLS note).
     out = learn(learner_state)
+    for _ in range(WARMUP_CALLS - 1):
+        out = learn(out.learner_state)
     jax.block_until_ready(out)
-    learner_state = out.learner_state
 
     steps_per_call = n_devices * UPDATES_PER_CALL * ROLLOUT_LENGTH * NUM_ENVS
     start = time.perf_counter()
