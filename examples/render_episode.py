@@ -81,6 +81,14 @@ def make_act_fn(cfg, env, policy: str, checkpoint_uid: str):
     if policy == "checkpoint":
         from mava_tpu.utils.checkpointing import Checkpointer
 
+        if not checkpoint_uid and not cfg.logger.checkpointing.load_args.get(
+            "checkpoint_uid"
+        ):
+            raise SystemExit(
+                "policy=checkpoint needs checkpoint_uid=<ts> (the timestamped "
+                "run directory under checkpoints/) — without it the loader "
+                "would create a fresh empty directory and find nothing."
+            )
         loader = Checkpointer(
             model_name=cfg.logger.system_name,
             **{**cfg.logger.checkpointing.load_args,

@@ -190,11 +190,13 @@ def _render_maswarm(env: Any, state: Any, scale: int = 60) -> np.ndarray:
     def to_cell(p):
         return (np.clip((p - lo) / (hi - lo), 0, 0.999) * cells)
 
-    for r, c in [to_cell(np.asarray(p))[::-1] for p in np.asarray(state.landmarks)]:
-        _disc(draw, r - 0.5, c - 0.5, scale, (120, 170, 120), shrink=0.33)
+    # y grows upward in the arena; image rows grow downward.
+    for p in np.asarray(state.landmarks):
+        cx, cy = to_cell(np.asarray(p))
+        _disc(draw, cells - cy - 0.5, cx - 0.5, scale, (120, 170, 120), shrink=0.33)
     for aid, p in enumerate(np.asarray(state.pos)):
-        cy, cx = to_cell(np.asarray(p))[::-1]
-        _disc(draw, cy - 0.5, cx - 0.5, scale,
+        cx, cy = to_cell(np.asarray(p))
+        _disc(draw, cells - cy - 0.5, cx - 0.5, scale,
               AGENT_COLORS[aid % len(AGENT_COLORS)], shrink=0.28)
     return np.asarray(img)
 
@@ -337,7 +339,8 @@ _RENDERERS = {
 
 def render_frame(env: Any, state: Any) -> np.ndarray:
     """Render one env state to an RGB uint8 frame. Raises KeyError for env
-    families without a registered viewer (articulated/gigastep/matrax)."""
+    families without a registered viewer (only matrax — a matrix game with no
+    spatial state)."""
     base_env = unwrap_env(env)
     name = type(base_env).__name__
     if name not in _RENDERERS:

@@ -450,6 +450,32 @@ def _state_specs(buffer_template) -> LearnerState:
     )
 
 
+def build_bench_learners(
+    cfg: Config, mesh, centralised_critic: bool = False
+) -> Tuple[Callable, Callable, LearnerState]:
+    """(explore, update, initial state): the shard_mapped explore/update
+    programs. One home for the spec wiring shared by the perf/bench tooling
+    (scripts/bench_mfu.py, scripts/profile_sac.py, tests) — run_experiment
+    keeps its own copy because it also threads checkpoint/donation options."""
+    (env, _), networks, optims, rb, state, target_entropy, _ = init(
+        cfg, mesh, centralised_critic
+    )
+    explore_fn, update_fn = make_update_fns(
+        cfg, env, networks, optims, rb, target_entropy, centralised_critic
+    )
+    specs = _state_specs(state.buffer_state)
+    explore = build_learner(
+        explore_fn, mesh, in_specs=(specs,), out_specs=(specs, P(None, DATA_AXIS))
+    )
+    update = build_learner(
+        update_fn,
+        mesh,
+        in_specs=(specs,),
+        out_specs=(specs, (P(None, None, DATA_AXIS), P())),
+    )
+    return explore, update, state
+
+
 def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
     cfg = copy.deepcopy(cfg)
     mesh = make_mesh()

@@ -13,6 +13,7 @@ how much (SURVEY.md §5 profiling note; BASELINE.md MFU column).
 
 Usage: python scripts/bench_mfu.py [config ...]
 Configs: ff_ippo_rware  rec_ippo_smax  ff_ippo_cleaner_cnn
+         rec_iql_smax  ff_isac_maswarm   (off-policy rows, VERDICT r2 next-4)
 """
 
 from __future__ import annotations
@@ -115,9 +116,6 @@ def _build_rec_iql(overrides, mesh, n_devices):
 
 
 def _build_ff_isac(overrides, mesh, n_devices):
-    from jax.sharding import PartitionSpec as P
-
-    from mava_tpu.parallel import build_learner
     from mava_tpu.systems.sac import ff_isac
     from mava_tpu.utils.config import load_config
     from mava_tpu.utils.timestep_checker import check_total_timesteps
@@ -127,20 +125,7 @@ def _build_ff_isac(overrides, mesh, n_devices):
     cfg = check_total_timesteps(cfg)
     cfg.system.scan_steps = OFFPOLICY_SCAN_STEPS
 
-    (env, _), networks, optims, rb, state, target_entropy, _ = ff_isac.init(cfg, mesh)
-    explore_fn, update_fn = ff_isac.make_update_fns(
-        cfg, env, networks, optims, rb, target_entropy, centralised_critic=False
-    )
-    specs = ff_isac._state_specs(state.buffer_state)
-    explore = build_learner(
-        explore_fn, mesh, in_specs=(specs,), out_specs=(specs, P(None, "data"))
-    )
-    update = build_learner(
-        update_fn,
-        mesh,
-        in_specs=(specs,),
-        out_specs=(specs, (P(None, None, "data"), P())),
-    )
+    explore, update, state = ff_isac.build_bench_learners(cfg, mesh)
     state, _ = explore(state)  # fill the buffer past min size before timing
     steps = n_devices * OFFPOLICY_SCAN_STEPS * cfg.system.rollout_length * cfg.arch.num_envs
     return update, state, steps, lambda out: out[0]

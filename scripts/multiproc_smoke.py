@@ -165,8 +165,15 @@ def main() -> None:
     print("=== multiproc: 2 processes x 4 devices", flush=True)
     p0 = spawn(2, 0, args.port + 1, devices=4)
     p1 = spawn(2, 1, args.port + 1, devices=4)
-    out0, _ = p0.communicate(timeout=3600)
-    out1, _ = p1.communicate(timeout=600)
+    # Drain both pipes concurrently: a worker blocking on a full stdout pipe
+    # would stall the cross-process collective and hang its peer.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f0 = pool.submit(p0.communicate, None, 3600)
+        f1 = pool.submit(p1.communicate, None, 3600)
+        out0, _ = f0.result()
+        out1, _ = f1.result()
     assert p0.returncode == 0, f"worker0 failed:\n{out0}"
     assert p1.returncode == 0, f"worker1 failed:\n{out1}"
     multi = parse_result(out0)

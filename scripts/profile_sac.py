@@ -22,9 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import numpy as np
-from jax.sharding import PartitionSpec as P
 
-from mava_tpu.parallel import build_learner, make_mesh, num_learner_devices
+from mava_tpu.parallel import make_mesh, num_learner_devices
 from mava_tpu.systems.sac import ff_isac
 from mava_tpu.utils.config import load_config
 from mava_tpu.utils.timestep_checker import check_total_timesteps
@@ -49,20 +48,7 @@ def build(epochs: int):
     cfg = check_total_timesteps(cfg)
     cfg.system.scan_steps = SCAN_STEPS
 
-    (env, _), networks, optims, rb, state, target_entropy, _ = ff_isac.init(cfg, mesh)
-    explore_fn, update_fn = ff_isac.make_update_fns(
-        cfg, env, networks, optims, rb, target_entropy, centralised_critic=False
-    )
-    specs = ff_isac._state_specs(state.buffer_state)
-    explore = build_learner(
-        explore_fn, mesh, in_specs=(specs,), out_specs=(specs, P(None, "data"))
-    )
-    update = build_learner(
-        update_fn,
-        mesh,
-        in_specs=(specs,),
-        out_specs=(specs, (P(None, None, "data"), P())),
-    )
+    explore, update, state = ff_isac.build_bench_learners(cfg, mesh)
     state, _ = explore(state)
     return update, state, cfg
 

@@ -12,8 +12,10 @@ from mava_tpu.envs.cleaner import Cleaner
 from mava_tpu.envs.connector import MaConnector
 from mava_tpu.envs.gigastep import Gigastep
 from mava_tpu.envs.lbf import LevelBasedForaging
+from mava_tpu.envs.maant import MaAnt
 from mava_tpu.envs.macheetah import MaCheetah
 from mava_tpu.envs.mahopper import MaHopper
+from mava_tpu.envs.mahumanoid import MaHumanoid
 from mava_tpu.envs.mareacher import MaReacher
 from mava_tpu.envs.maswarm import MaSwarm
 from mava_tpu.envs.maswimmer import MaSwimmer
@@ -38,6 +40,8 @@ ENVS = [
     MaWalker(),
     MaCheetah(),
     Gigastep(scenario="waypoint"),
+    MaAnt(),
+    MaHumanoid(),
 ]
 
 

@@ -8,9 +8,8 @@ ONLY the critic target (same data, same RNG -> different Q params).
 """
 
 import jax
-from jax.sharding import PartitionSpec as P
 
-from mava_tpu.parallel import build_learner, make_mesh, num_learner_devices
+from mava_tpu.parallel import make_mesh, num_learner_devices
 from mava_tpu.systems.sac import ff_isac
 from mava_tpu.utils.config import load_config
 from mava_tpu.utils.timestep_checker import check_total_timesteps
@@ -38,20 +37,7 @@ def _one_update(reward_scale: float):
     cfg = check_total_timesteps(cfg)
     cfg.system.scan_steps = 2
 
-    (env, _), networks, optims, rb, state, target_entropy, _ = ff_isac.init(cfg, mesh)
-    explore_fn, update_fn = ff_isac.make_update_fns(
-        cfg, env, networks, optims, rb, target_entropy, centralised_critic=False
-    )
-    specs = ff_isac._state_specs(state.buffer_state)
-    explore = build_learner(
-        explore_fn, mesh, in_specs=(specs,), out_specs=(specs, P(None, "data"))
-    )
-    update = build_learner(
-        update_fn,
-        mesh,
-        in_specs=(specs,),
-        out_specs=(specs, (P(None, None, "data"), P())),
-    )
+    explore, update, state = ff_isac.build_bench_learners(cfg, mesh)
     state, _ = explore(state)
     state, _ = update(state)
     return jax.device_get(state.params)
