@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -40,10 +41,24 @@ class Vault:
             self._paths = manifest["paths"]
 
     def write(self, experience: Any) -> int:
-        """Append one trajectory slab (pytree, leaves (batch, time, ...))."""
-        leaves, treedef = jax.tree.flatten(experience)
+        """Append one trajectory slab (pytree, leaves (batch, time, ...)).
+
+        Leaves are named by their pytree key path (e.g. `.obs.agents_view`,
+        sanitized for filenames), so consumers (`read()`, offline training —
+        `examples/bc_from_vault.py`) address fields by name rather than
+        flatten position."""
+        path_leaves = jax.tree_util.tree_flatten_with_path(experience)[0]
+        leaves = [leaf for _, leaf in path_leaves]
+        treedef = jax.tree.structure(experience)
         if self._paths is None:
-            self._paths = [f"leaf_{i}" for i in range(len(leaves))]
+            names = [
+                re.sub(r"[^\w.]+", "_", jax.tree_util.keystr(path)).strip("_")
+                for path, _ in path_leaves
+            ]
+            # Fall back to positional names on collision/empty (exotic trees).
+            if len(set(names)) != len(names) or any(not n for n in names):
+                names = [f"leaf_{i}" for i in range(len(leaves))]
+            self._paths = names
             with open(os.path.join(self.base_dir, "treedef.txt"), "w") as f:
                 f.write(str(treedef))
         chunk_dir = os.path.join(self.base_dir, f"chunk_{self._chunk_count:06d}")

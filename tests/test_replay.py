@@ -102,6 +102,42 @@ def test_vault_roundtrip(tmp_path):
         vault.write(slab)
         vault.write(slab)
         data = vault.read()
-        assert data["leaf_0"].shape == (2, 6, 4)
+        # Leaves are named by pytree key path (offline consumers address
+        # fields by name — examples/bc_from_vault.py).
+        assert data["obs"].shape == (2, 6, 4)
+    finally:
+        os.chdir(cwd)
+
+
+def test_vault_named_leaves_nested(tmp_path):
+    """Key-path naming covers NamedTuple + dict nesting (the PPOTransition
+    shape the experience-recording system writes)."""
+    import os
+
+    from mava_tpu.replay import Vault
+    from mava_tpu.systems.ppo.types import PPOTransition
+    from mava_tpu.types import Observation
+
+    tr = PPOTransition(
+        done=jnp.zeros((2, 4, 3)),
+        action=jnp.zeros((2, 4, 3), jnp.int32),
+        value=jnp.zeros((2, 4, 3)),
+        reward=jnp.zeros((2, 4, 3)),
+        log_prob=jnp.zeros((2, 4, 3)),
+        obs=Observation(
+            agents_view=jnp.zeros((2, 4, 3, 7)),
+            action_mask=jnp.ones((2, 4, 3, 5)),
+            step_count=jnp.zeros((2, 4, 3), jnp.int32),
+        ),
+        info={"m": jnp.zeros((2, 4))},
+    )
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        vault = Vault("test_vault_named", vault_uid="u1")
+        vault.write(tr)
+        data = vault.read()
+        assert data[".obs.agents_view"].shape == (2, 4, 3, 7)
+        assert data[".action"].shape == (2, 4, 3)
     finally:
         os.chdir(cwd)
