@@ -145,11 +145,11 @@ def init(
     )
 
     init_transition = Transition(
-        obs=obs,
+        obs=compress_stored_obs(obs),
         action=acts,
         reward=jnp.zeros((n_agents,), dtype=jnp.float32),
         done=jnp.zeros((n_agents,), dtype=bool),
-        next_obs=obs,
+        next_obs=compress_stored_obs(obs),
     )
     rb = make_item_buffer(
         max_length=int(cfg.system.buffer_size),
@@ -191,6 +191,32 @@ def init(
     return (env, eval_env), networks, optims, rb, learner_state, target_entropy, key
 
 
+def compress_stored_obs(obs: Any) -> Any:
+    """Deduplicate the global state before an observation enters the replay
+    buffer. `GlobalStateWrapper` gives every agent the SAME global-state
+    vector (reference semantics), so storing it per agent multiplies buffer
+    HBM by num_agents for nothing — at the reference's 1M-item buffer this is
+    what separates MASAC+MaCheetah fitting in 15.75G HBM from an 18.8G OOM
+    (r3 queue j110). Only the stored copy is compressed; live observations
+    are untouched."""
+    if hasattr(obs, "global_state"):
+        return obs._replace(global_state=obs.global_state[..., :1, :])
+    return obs
+
+
+def expand_sampled_obs(obs: Any, n_agents: int) -> Any:
+    """Inverse of `compress_stored_obs` at the sample boundary: broadcast the
+    stored single global-state row back to (…, n_agents, G)."""
+    if hasattr(obs, "global_state"):
+        gs = obs.global_state
+        return obs._replace(
+            global_state=jnp.broadcast_to(
+                gs, (*gs.shape[:-2], n_agents, gs.shape[-1])
+            )
+        )
+    return obs
+
+
 def make_update_fns(
     cfg: Config,
     env: Any,
@@ -215,7 +241,13 @@ def make_update_fns(
         terms = ~timestep.discount.astype(bool)
         infos = timestep.extras
 
-        transition = Transition(obs, action, rewards, terms, infos["real_next_obs"])
+        transition = Transition(
+            compress_stored_obs(obs),
+            action,
+            rewards,
+            terms,
+            compress_stored_obs(infos["real_next_obs"]),
+        )
         buffer_state = rb.add(buffer_state, transition)
         return next_obs, env_state, buffer_state, infos["episode_metrics"]
 
@@ -343,6 +375,10 @@ def make_update_fns(
         buffer_state, params, opt_states, t, key = carry
         key, buff_key, q_key, actor_key = jax.random.split(key, 4)
         data = rb.sample(buffer_state, buff_key).experience
+        data = data._replace(
+            obs=expand_sampled_obs(data.obs, env.num_agents),
+            next_obs=expand_sampled_obs(data.next_obs, env.num_agents),
+        )
 
         params, opt_states, q_loss_info = update_q(params, opt_states, data, q_key)
         # TD3-style delay gated on the TRAIN-step index. The reference gates on the

@@ -61,3 +61,23 @@ def test_reward_scale_changes_only_the_critic_update():
         )
     )
     assert q_diff, "reward_scale=0.1 left the critic update unchanged"
+
+
+def test_global_state_dedup_roundtrip():
+    """Replay-buffer global-state dedup (compress at write, expand at sample)
+    is lossless: GlobalStateWrapper gives every agent the same vector."""
+    import jax.numpy as jnp
+
+    from mava_tpu.types import ObservationGlobalState
+
+    obs = ObservationGlobalState(
+        agents_view=jnp.arange(24.0).reshape(2, 4, 3),
+        action_mask=jnp.ones((2, 4, 5)),
+        global_state=jnp.broadcast_to(jnp.arange(7.0), (2, 4, 7)),
+        step_count=jnp.zeros((2, 4)),
+    )
+    stored = ff_isac.compress_stored_obs(obs)
+    assert stored.global_state.shape == (2, 1, 7)
+    restored = ff_isac.expand_sampled_obs(stored, 4)
+    for a, b in zip(jax.tree.leaves(obs), jax.tree.leaves(restored)):
+        assert (a == b).all()
