@@ -115,6 +115,10 @@ def spawn(num_processes: int, process_id: int, port: int, devices: int):
     flags = env.get("XLA_FLAGS", "")
     env["XLA_FLAGS"] = f"{flags} --xla_force_host_platform_device_count={devices}"
     env["MAVA_TPU_NO_COMPILATION_CACHE"] = "1"
+    # sys.path[0] for a script run by absolute path is scripts/, not the repo
+    # root — the worker needs the package importable explicitly.
+    prev_pp = env.get("PYTHONPATH", "")
+    env["PYTHONPATH"] = f"{REPO}:{prev_pp}" if prev_pp else REPO
     return subprocess.Popen(
         [
             sys.executable,
