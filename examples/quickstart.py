@@ -1,4 +1,4 @@
-"""Mava-TPU quickstart: train ff-IPPO on RobotWarehouse tiny-2ag in one command.
+"""Mava-TPU quickstart: train ff-IPPO to SOLVE Level-Based Foraging in one command.
 
 The runnable counterpart of the reference's `examples/Quickstart.ipynb` (which
 walks through building MAPPO on Jumanji RWARE cell by cell): here the same
@@ -13,15 +13,17 @@ the notebook hand-rolls already exists as a tested component:
 * evaluation    -> `mava_tpu/evaluator.py` (greedy eval episodes, win/return table)
 * config        -> `mava_tpu/configs/` (composable yaml groups, CLI overrides)
 
-Run it (defaults: 500k env steps, 10 evaluations, console logging):
+Run it (defaults: LBF 2s-8x8-2p-2f-coop, 2M env steps, 10 evaluations — the
+eval return climbs to the 1.0 maximum, i.e. the task is SOLVED, within the
+run; measured on hardware in BASELINE.md):
 
     python examples/quickstart.py
 
-Every config knob is overridable hydra-style, e.g. a longer MAPPO run on the
-harder 4-agent map:
+Every config knob is overridable hydra-style, e.g. a RWARE run on a harder
+4-agent map:
 
-    python examples/quickstart.py system.total_timesteps=2000000 \
-        env/scenario=tiny-4ag
+    python examples/quickstart.py env=rware env/scenario=tiny-4ag \
+        system.total_timesteps=5000000
 
 The console prints an eval table as training progresses; the script returns
 the final evaluation episode return. On a TPU chip the default run takes
@@ -40,10 +42,10 @@ from mava_tpu.systems.ppo import ff_ippo
 from mava_tpu.utils.config import load_config
 
 QUICKSTART_DEFAULTS = [
-    "env=rware",
-    "env/scenario=tiny-2ag",
-    "system.total_timesteps=500000",
-    "arch.num_envs=64",
+    "env=lbf",
+    "env/scenario=2s-8x8-2p-2f-coop",
+    "system.total_timesteps=2000000",
+    "arch.num_envs=128",
     "arch.num_evaluation=10",
     "logger.use_console=True",
 ]
@@ -59,7 +61,7 @@ def main() -> float:
     cfg = load_config("default_ff_ippo", QUICKSTART_DEFAULTS + sys.argv[1:])
 
     print(
-        f"Training ff-IPPO on RWARE {cfg.env.scenario.task_name} "
+        f"Training ff-IPPO on {cfg.env.env_name} {cfg.env.scenario.task_name} "
         f"for {int(cfg.system.total_timesteps):,} env steps "
         f"({cfg.arch.num_envs} vectorised envs)...",
         flush=True,
