@@ -35,6 +35,7 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from mava_tpu import envs as environments
+from mava_tpu.envs.stagger import stagger_env_states
 from mava_tpu.envs.wrappers import get_final_step_metrics
 from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
 from mava_tpu.networks import FeedForwardActor as Actor
@@ -172,6 +173,12 @@ def learner_setup(
             jax.random.split(env_key, total_envs), (num_seeds, 1)
         )
     env_states, timesteps = jax.vmap(env.reset)(reset_keys)
+    if config.arch.get("stagger_resets", False):
+        # Stagger on the flat (S*E) batch: independent offsets per seed entry.
+        key, stagger_key = jax.random.split(key)
+        env_states, timesteps = stagger_env_states(
+            env, env_states, timesteps, stagger_key, num_seeds * total_envs
+        )
     env_states, timesteps = jax.tree.map(
         lambda x: x.reshape((num_seeds, total_envs) + x.shape[1:]),
         (env_states, timesteps),

@@ -57,6 +57,7 @@ from mava_tpu.utils.training import (
     make_learning_rate,
     make_optimizer,
 )
+from mava_tpu.envs.stagger import stagger_env_states
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
 
@@ -357,6 +358,13 @@ def learner_setup(
     env_states, timesteps = sharded_env_reset(
         env, env_key, n_devices * config.arch.num_envs, mesh
     )
+    if config.arch.get("stagger_resets", False):
+        # Desynchronise episode boundaries across the env batch (see
+        # envs/stagger.py) — opt-in, feedforward operating points.
+        key, stagger_key = jax.random.split(key)
+        env_states, timesteps = stagger_env_states(
+            env, env_states, timesteps, stagger_key, n_devices * config.arch.num_envs
+        )
 
     if config.logger.checkpointing.load_model:
         loaded_checkpoint = Checkpointer(
