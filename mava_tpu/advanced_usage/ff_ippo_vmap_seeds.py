@@ -174,11 +174,24 @@ def learner_setup(
         )
     env_states, timesteps = jax.vmap(env.reset)(reset_keys)
     if config.arch.get("stagger_resets", False):
-        # Stagger on the flat (S*E) batch: independent offsets per seed entry.
-        key, stagger_key = jax.random.split(key)
-        env_states, timesteps = stagger_env_states(
-            env, env_states, timesteps, stagger_key, num_seeds * total_envs
-        )
+        # fold_in (not split): enabling the stagger must not shift the
+        # downstream RNG stream (A/B arms stay action-identical).
+        stagger_key = jax.random.fold_in(key, 0x57A6)
+        if sweep_lrs is None:
+            # Seed batching: independent offsets per seed entry (flat S*E).
+            env_states, timesteps = stagger_env_states(
+                env, env_states, timesteps, stagger_key
+            )
+        else:
+            # lr sweep: IDENTICAL offsets per entry (same invariant as the
+            # tiled reset keys above — entry differences attributable to lr
+            # alone). Stagger one env copy, tile across entries.
+            one = jax.tree.map(lambda x: x[:total_envs], (env_states, timesteps))
+            one_states, one_ts = stagger_env_states(env, *one, stagger_key)
+            env_states, timesteps = jax.tree.map(
+                lambda x: jnp.tile(x, (num_seeds,) + (1,) * (x.ndim - 1)),
+                (one_states, one_ts),
+            )
     env_states, timesteps = jax.tree.map(
         lambda x: x.reshape((num_seeds, total_envs) + x.shape[1:]),
         (env_states, timesteps),

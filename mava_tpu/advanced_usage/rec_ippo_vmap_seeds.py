@@ -36,6 +36,7 @@ from mava_tpu.parallel import (
     make_mesh,
     num_learner_devices,
 )
+from mava_tpu.envs.stagger import reject_stagger
 from mava_tpu.systems.ppo.rec_ippo import get_learner_fn
 from mava_tpu.systems.ppo.types import (
     HiddenStates,
@@ -72,6 +73,7 @@ def learner_setup(
     """Stock rec-IPPO learner with a leading batch axis over seeds — or, with
     `sweep_lrs`, over LEARNING RATES (shared init/env seeds, swept optimizer;
     see ff_ippo_vmap_seeds.learner_setup for the mechanism)."""
+    reject_stagger(config, "rec-IPPO vmap-seeds/sweep/PBT")
     # Honor network.gru_impl exactly like the stock recurrent setups do.
     from mava_tpu.networks import actor_critic as _ac
 

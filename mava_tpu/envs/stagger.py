@@ -61,23 +61,29 @@ def _random_action_fn(env: Any):
 
 
 def stagger_env_states(
-    env: Any, env_states: Any, timesteps: Any, key: jnp.ndarray, n_envs: int
+    env: Any, env_states: Any, timesteps: Any, key: jnp.ndarray
 ) -> Tuple[Any, Any]:
     """Advance env i by k_i ~ U[0, time_limit) random-action steps, k drawn per env.
 
-    `env_states`/`timesteps` are the batched (leading axis `n_envs`) outputs of a
+    `env_states`/`timesteps` are the batched (leading env axis) outputs of a
     vmapped reset of the fully wrapped train env (auto-reset included, so episodes
     that end naturally during burn-in just roll over). Returns the desynchronised
     (states, timesteps) with identical structure/sharding; all burn-in data is
-    discarded.
+    discarded. Callers derive `key` with `jax.random.fold_in` rather than a
+    `split` so enabling the stagger does not shift the downstream RNG stream
+    (keeps A/B arms action-identical).
     """
     time_limit = int(env.time_limit)
+    n_envs = int(jax.tree.leaves(timesteps)[0].shape[0])
     sample_action = _random_action_fn(env)
 
     def burn_in(states: Any, ts: Any, k: jnp.ndarray) -> Tuple[Any, Any]:
         cap_key, step_key = jax.random.split(k)
         caps = jax.random.randint(cap_key, (n_envs,), 0, time_limit)
-        step_keys = jax.random.split(step_key, time_limit)
+        # Max cap is time_limit-1, so the last scan iteration would be fully
+        # masked — run time_limit-1 steps.
+        n_steps = time_limit - 1
+        step_keys = jax.random.split(step_key, max(n_steps, 1))[:n_steps]
 
         def body(carry, inp):
             t, sk = inp
@@ -96,8 +102,23 @@ def stagger_env_states(
             ), None
 
         (states, ts), _ = jax.lax.scan(
-            body, (states, ts), (jnp.arange(time_limit), step_keys)
+            body, (states, ts), (jnp.arange(n_steps), step_keys)
         )
         return states, ts
 
     return jax.jit(burn_in)(env_states, timesteps, key)
+
+
+def reject_stagger(config: Any, system_name: str) -> None:
+    """Fail fast when `arch.stagger_resets` is set for a system that ignores it.
+
+    The burn-in is a feedforward-PPO setup transform: a recurrent policy would
+    start mid-episode with a zero carry, and off-policy replay already
+    decorrelates episode phase. Silently accepting the flag would let a user
+    believe they measured staggered resets when they measured the baseline.
+    """
+    if config.arch.get("stagger_resets", False):
+        raise ValueError(
+            f"arch.stagger_resets=True is not supported by {system_name} "
+            "(feedforward PPO systems only — see mava_tpu/envs/stagger.py)."
+        )

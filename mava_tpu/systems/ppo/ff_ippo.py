@@ -360,10 +360,12 @@ def learner_setup(
     )
     if config.arch.get("stagger_resets", False):
         # Desynchronise episode boundaries across the env batch (see
-        # envs/stagger.py) — opt-in, feedforward operating points.
-        key, stagger_key = jax.random.split(key)
+        # envs/stagger.py) — opt-in, feedforward operating points. fold_in
+        # (not split) so the downstream RNG stream is identical with the
+        # stagger on or off — A/B arms differ only by the burn-in.
+        stagger_key = jax.random.fold_in(key, 0x57A6)
         env_states, timesteps = stagger_env_states(
-            env, env_states, timesteps, stagger_key, n_devices * config.arch.num_envs
+            env, env_states, timesteps, stagger_key
         )
 
     if config.logger.checkpointing.load_model:

@@ -65,6 +65,7 @@ from mava_tpu.utils.training import (
     make_learning_rate,
     make_optimizer,
 )
+from mava_tpu.envs.stagger import reject_stagger
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
 
@@ -360,6 +361,7 @@ def get_learner_fn(
 def learner_setup(
     env: MarlEnv, keys: Tuple, config: Config, mesh, centralised_critic: bool = False
 ) -> Tuple[Callable, Any, RNNLearnerState]:
+    reject_stagger(config, "rec-IPPO/rec-MAPPO")
     # Select the ScannedRNN implementation from config (hoisted | pallas |
     # cell) — a module-level switch so every GRU in the program agrees.
     from mava_tpu.networks import actor_critic as _ac

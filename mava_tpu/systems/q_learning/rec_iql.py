@@ -53,6 +53,7 @@ from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
+from mava_tpu.envs.stagger import reject_stagger
 
 
 def epsilon_schedule(cfg: Config, t):
@@ -269,6 +270,7 @@ def make_update_fn(
 
 
 def init(cfg: Config, mesh, swept_lr: bool = False) -> Tuple:
+    reject_stagger(cfg, "rec-IQL")
     # Select the ScannedRNN implementation from config (hoisted | pallas |
     # cell) — a module-level switch so every GRU in the program agrees.
     from mava_tpu.networks import actor_critic as _ac

@@ -62,11 +62,13 @@ from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
+from mava_tpu.envs.stagger import reject_stagger
 
 
 def init(
     cfg: Config, mesh, centralised_critic: bool = False, swept_lr: bool = False
 ) -> Tuple:
+    reject_stagger(cfg, "ff-ISAC/ff-MASAC")
     n_devices = num_learner_devices(mesh)
 
     env, eval_env = environments.make(cfg, add_global_state=centralised_critic)

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from mava_tpu import envs as environments
-from mava_tpu.envs.stagger import stagger_env_states
+from mava_tpu.envs.stagger import reject_stagger, stagger_env_states
 from mava_tpu.utils.config import load_config
 
 
@@ -28,7 +28,7 @@ def test_stagger_desynchronises_rware():
     env = _make_env("default_ff_ippo", ["env.kwargs.time_limit=32"])
     n = 64
     states, ts = _batched_reset(env, n)
-    new_states, new_ts = stagger_env_states(env, states, ts, jax.random.PRNGKey(3), n)
+    new_states, new_ts = stagger_env_states(env, states, ts, jax.random.PRNGKey(3))
 
     counts = np.asarray(new_states.env_state.step_count)
     assert counts.shape == (n,)
@@ -45,7 +45,7 @@ def test_stagger_preserves_structure():
     env = _make_env("default_ff_ippo", ["env.kwargs.time_limit=16"])
     n = 8
     states, ts = _batched_reset(env, n)
-    new_states, new_ts = stagger_env_states(env, states, ts, jax.random.PRNGKey(1), n)
+    new_states, new_ts = stagger_env_states(env, states, ts, jax.random.PRNGKey(1))
 
     for old, new in zip(jax.tree.leaves((states, ts)), jax.tree.leaves((new_states, new_ts))):
         assert old.shape == new.shape
@@ -58,7 +58,7 @@ def test_stagger_continuous_actions():
     )
     n = 16
     states, ts = _batched_reset(env, n)
-    new_states, _ = stagger_env_states(env, states, ts, jax.random.PRNGKey(2), n)
+    new_states, _ = stagger_env_states(env, states, ts, jax.random.PRNGKey(2))
     counts = np.asarray(new_states.env_state.step_count)
     assert len(np.unique(counts)) > 4
 
@@ -70,7 +70,7 @@ def test_stagger_zero_offset_env_untouched():
     env = _make_env("default_ff_ippo", ["env.kwargs.time_limit=1"])
     n = 4
     states, ts = _batched_reset(env, n)
-    new_states, new_ts = stagger_env_states(env, states, ts, jax.random.PRNGKey(0), n)
+    new_states, new_ts = stagger_env_states(env, states, ts, jax.random.PRNGKey(0))
     for old, new in zip(jax.tree.leaves((states, ts)), jax.tree.leaves((new_states, new_ts))):
         np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
@@ -85,3 +85,11 @@ def test_ff_ippo_runs_with_stagger(fast_config_overrides):
     )
     perf = ff_ippo.run_experiment(cfg)
     assert isinstance(perf, float)
+
+
+def test_reject_stagger_on_unsupported_systems():
+    cfg = load_config(
+        "default_rec_iql", ["arch.stagger_resets=True", "logger.use_console=False"]
+    )
+    with pytest.raises(ValueError, match="stagger_resets"):
+        reject_stagger(cfg, "rec-IQL")
