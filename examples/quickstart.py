@@ -14,8 +14,8 @@ the notebook hand-rolls already exists as a tested component:
 * config        -> `mava_tpu/configs/` (composable yaml groups, CLI overrides)
 
 Run it (defaults: LBF 2s-8x8-2p-2f-coop, 2M env steps, 10 evaluations — the
-eval return climbs to the 1.0 maximum, i.e. the task is SOLVED, within the
-run; measured on hardware in BASELINE.md):
+eval return climbs to near-perfect play, absolute 0.96 of the 1.0 maximum;
+measured on hardware in BASELINE.md):
 
     python examples/quickstart.py
 
