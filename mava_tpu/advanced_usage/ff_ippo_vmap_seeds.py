@@ -35,7 +35,7 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from mava_tpu import envs as environments
-from mava_tpu.envs.stagger import stagger_env_states
+from mava_tpu.envs.stagger import derive_stagger_key, stagger_env_states
 from mava_tpu.envs.wrappers import get_final_step_metrics
 from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
 from mava_tpu.networks import FeedForwardActor as Actor
@@ -174,9 +174,7 @@ def learner_setup(
         )
     env_states, timesteps = jax.vmap(env.reset)(reset_keys)
     if config.arch.get("stagger_resets", False):
-        # fold_in (not split): enabling the stagger must not shift the
-        # downstream RNG stream (A/B arms stay action-identical).
-        stagger_key = jax.random.fold_in(key, 0x57A6)
+        stagger_key = derive_stagger_key(key)
         if sweep_lrs is None:
             # Seed batching: independent offsets per seed entry (flat S*E).
             env_states, timesteps = stagger_env_states(

@@ -130,7 +130,10 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
             LogEvent.EVAL,
         )
 
-        if eval_step + 1 < config.arch.num_evaluation:
+        # `+system.pbt_exploit=False` disables exploit/explore, turning the run
+        # into a fixed-lr population control arm (same gate as ff_ippo_pbt.py).
+        exploit_enabled = bool(config.system.get("pbt_exploit", True))
+        if exploit_enabled and eval_step + 1 < config.arch.num_evaluation:
             key_pbt, step_key = jax.random.split(key_pbt)
             new_params, new_opts, _, _ = pbt_exploit_explore(
                 state.params, state.opt_states, returns, step_key, frac, perturb

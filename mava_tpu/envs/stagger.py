@@ -37,6 +37,14 @@ import jax.numpy as jnp
 from mava_tpu import specs
 
 
+def derive_stagger_key(key: jnp.ndarray) -> jnp.ndarray:
+    """Stagger key via fold_in (NOT split): enabling the burn-in must not shift
+    the caller's downstream RNG stream, so A/B arms stay action-identical. One
+    constant, used by every entry point — the reproducibility contract depends
+    on all call sites deriving identically."""
+    return jax.random.fold_in(key, 0x57A6)
+
+
 def _random_action_fn(env: Any):
     """Uniform random legal actions for a batched timestep."""
     spec = env.action_spec()

@@ -57,7 +57,7 @@ from mava_tpu.utils.training import (
     make_learning_rate,
     make_optimizer,
 )
-from mava_tpu.envs.stagger import stagger_env_states
+from mava_tpu.envs.stagger import derive_stagger_key, stagger_env_states
 from mava_tpu.envs.wrappers import get_final_step_metrics
 
 
@@ -360,12 +360,9 @@ def learner_setup(
     )
     if config.arch.get("stagger_resets", False):
         # Desynchronise episode boundaries across the env batch (see
-        # envs/stagger.py) — opt-in, feedforward operating points. fold_in
-        # (not split) so the downstream RNG stream is identical with the
-        # stagger on or off — A/B arms differ only by the burn-in.
-        stagger_key = jax.random.fold_in(key, 0x57A6)
+        # envs/stagger.py) — opt-in, feedforward operating points.
         env_states, timesteps = stagger_env_states(
-            env, env_states, timesteps, stagger_key
+            env, env_states, timesteps, derive_stagger_key(key)
         )
 
     if config.logger.checkpointing.load_model:

@@ -202,7 +202,21 @@ def compress_stored_obs(obs: Any) -> Any:
     (r3 queue j110). Only the stored copy is compressed; live observations
     are untouched."""
     if hasattr(obs, "global_state"):
-        return obs._replace(global_state=obs.global_state[..., :1, :])
+        gs = obs.global_state
+        # The slice below assumes the agent axis is second-to-last, i.e. a
+        # per-agent-duplicated (…, A, G) VECTOR global state. Grid-shaped
+        # global states (e.g. Cleaner/Connector's (A, H, W, C)) would be
+        # sliced along the wrong axis and silently corrupt the critic input —
+        # fail loudly instead. agents_view is (…, A, obs_dim) on the SAC path,
+        # so its second-to-last dim is the agent count to match.
+        if gs.ndim != obs.agents_view.ndim or gs.shape[-2] != obs.agents_view.shape[-2]:
+            raise ValueError(
+                "compress_stored_obs expects a per-agent-duplicated (…, A, G) "
+                f"vector global state; got global_state {gs.shape} vs "
+                f"agents_view {obs.agents_view.shape}. Grid global states are "
+                "not supported by the replay dedup."
+            )
+        return obs._replace(global_state=gs[..., :1, :])
     return obs
 
 

@@ -27,8 +27,12 @@ from typing import Dict, List
 
 import numpy as np
 
-# Validated reference categorical palette (light surface), fixed slot order.
-_PALETTE = ["#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4", "#008300"]
+# Validated reference categorical palette (light surface), fixed slot order —
+# all 8 slots so the 7 algorithm families never wrap onto a shared hue.
+_PALETTE = [
+    "#2a78d6", "#eb6834", "#1baf7a", "#eda100", "#e87ba4", "#008300",
+    "#4a3aa7", "#e34948",
+]
 # Fixed algorithm -> slot assignment so ff_ippo is the same hue in every figure.
 _ALG_SLOTS = [
     "ff_ippo", "ff_mappo", "rec_ippo", "rec_mappo", "rec_iql", "ff_isac",

@@ -12,7 +12,11 @@
 # identically — that retry is removed. Per-job .done markers are only written
 # on exit 0 so failed jobs rerun on the next drain.
 cd /root/repo
+# Legacy r2 queue script, kept as the rerun recipe; its jobs were re-executed
+# in the r3 queue (j040/j050/j055). mkdir so it also runs on a fresh container
+# where results/r2_queue no longer exists.
 Q=/root/repo/results/r2_queue
+mkdir -p "$Q"
 
 if [ ! -f $Q/job18.done ]; then
   echo "=== job18: ff-IPPO PBT (pop 8) on RWARE tiny-2ag $(date)"

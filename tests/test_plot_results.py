@@ -5,6 +5,9 @@ import os
 import sys
 
 import numpy as np
+import pytest
+
+pytest.importorskip("matplotlib")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "scripts"))

@@ -3,9 +3,11 @@ literal-parity counterpart of the reference's notebook must stay runnable."""
 
 import os
 
-import nbformat
 import pytest
-from nbclient import NotebookClient
+
+nbformat = pytest.importorskip("nbformat")
+pytest.importorskip("nbclient")
+from nbclient import NotebookClient  # noqa: E402
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NB = os.path.join(REPO, "examples", "Quickstart.ipynb")
