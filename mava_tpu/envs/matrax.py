@@ -5,6 +5,16 @@ names follow matrax conventions: `Climbing-{stateless|stateful}-v0` and
 `Penalty-{k}-{stateless|stateful}-v0`. Stateless games observe a zero vector; stateful
 games observe the joint action of the previous step. Action mask is all-ones
 (reference `matrax.py:38`).
+
+The matrax package additionally registers the 78 Rapoport 2x2 ordinal games as
+`NoConflict-{0..20}-*-v0` / `Conflict-{0..56}-*-v0`. Their id->matrix catalog
+lives inside that package and cannot be verified offline (package absent, zero
+egress), so fabricating the mapping would be false parity. Instead ANY matrix
+game — every catalog entry included — is expressible directly:
+`Custom-{stateless|stateful}-v0` plus a `payoff` kwarg (per-agent payoff
+matrices, shape (num_agents, rows, cols)), settable from a scenario yaml's
+`task_config.payoff`. See `configs/env/scenario/matrax-pd.yaml` (prisoner's
+dilemma) for the pattern.
 """
 
 from __future__ import annotations
@@ -31,18 +41,35 @@ def _penalty(k: float) -> np.ndarray:
     )
 
 
-def _parse_task(task_name: str) -> Tuple[np.ndarray, bool]:
+def _parse_task(task_name: str, payoff=None) -> Tuple[np.ndarray, bool]:
     """Returns (payoff matrices (num_agents, rows, cols), stateful)."""
     m = re.match(r"Climbing-(stateless|stateful)-v0", task_name)
     if m:
-        payoff = np.stack([_CLIMBING, _CLIMBING])
-        return payoff, m.group(1) == "stateful"
+        return np.stack([_CLIMBING, _CLIMBING]), m.group(1) == "stateful"
     m = re.match(r"Penalty-(\d+)-(stateless|stateful)-v0", task_name)
     if m:
         p = _penalty(float(m.group(1)))
         return np.stack([p, p]), m.group(2) == "stateful"
+    m = re.match(r"Custom-(stateless|stateful)-v0", task_name)
+    if m:
+        if payoff is None:
+            raise ValueError(
+                "Matrax Custom-*-v0 needs a `payoff` kwarg: per-agent payoff "
+                "matrices, shape (num_agents, rows, cols) — set "
+                "task_config.payoff in the scenario yaml."
+            )
+        arr = np.asarray(payoff, dtype=np.float32)
+        # Matrix games are two-player (matrax convention): the step rule
+        # indexes payoff[agent, action_0, action_1].
+        if arr.ndim != 3 or arr.shape[0] != 2 or arr.shape[1] != arr.shape[2]:
+            raise ValueError(
+                "Custom payoff must be (2, n_actions, n_actions); "
+                f"got {arr.shape}."
+            )
+        return arr, m.group(1) == "stateful"
     raise ValueError(
-        f"Unknown Matrax task '{task_name}'. Supported: Climbing-*-v0, Penalty-k-*-v0."
+        f"Unknown Matrax task '{task_name}'. Supported: Climbing-*-v0, "
+        "Penalty-k-*-v0, Custom-*-v0 (with a payoff kwarg)."
     )
 
 
@@ -54,8 +81,13 @@ class MatraxState:
 
 
 class Matrax:
-    def __init__(self, task_name: str = "Climbing-stateless-v0", time_limit: int = 10):
-        payoff, stateful = _parse_task(task_name)
+    def __init__(
+        self,
+        task_name: str = "Climbing-stateless-v0",
+        time_limit: int = 10,
+        payoff=None,
+    ):
+        payoff, stateful = _parse_task(task_name, payoff)
         self.payoff = jnp.asarray(payoff)  # (A, rows, cols)
         self.stateful = stateful
         self.num_agents = payoff.shape[0]

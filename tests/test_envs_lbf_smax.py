@@ -124,3 +124,38 @@ def test_matrax_stateful_observes_last_actions():
     np.testing.assert_allclose(
         np.asarray(ts.observation.agents_view), [[2.0, 1.0], [2.0, 1.0]]
     )
+
+
+def test_matrax_custom_payoff_prisoners_dilemma():
+    pd = [
+        [[3.0, 0.0], [5.0, 1.0]],  # agent 0: rows = own action
+        [[3.0, 5.0], [0.0, 1.0]],  # agent 1: transpose view
+    ]
+    env = Matrax("Custom-stateless-v0", time_limit=5, payoff=pd)
+    state, ts = env.reset(jax.random.PRNGKey(0))
+    # Mutual cooperation.
+    state, ts = env.step(state, jnp.array([0, 0], dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(ts.reward), [3.0, 3.0])
+    # Agent 0 defects on a cooperator: temptation vs sucker payoff.
+    state, ts = env.step(state, jnp.array([1, 0], dtype=jnp.int32))
+    np.testing.assert_allclose(np.asarray(ts.reward), [5.0, 0.0])
+
+
+def test_matrax_custom_payoff_validation():
+    import pytest
+
+    with pytest.raises(ValueError, match="payoff"):
+        Matrax("Custom-stateless-v0")  # missing payoff
+    with pytest.raises(ValueError, match="2, n_actions"):
+        Matrax("Custom-stateless-v0", payoff=[[[1.0]]])  # one agent
+
+
+def test_matrax_pd_scenario_via_factory():
+    from mava_tpu import envs as environments
+    from mava_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "default_ff_ippo", ["env=matrax", "env/scenario=matrax-pd"]
+    )
+    env, _ = environments.make(cfg)
+    assert env.action_dim == 2 and env.num_agents == 2
