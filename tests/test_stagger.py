@@ -93,3 +93,25 @@ def test_reject_stagger_on_unsupported_systems():
     )
     with pytest.raises(ValueError, match="stagger_resets"):
         reject_stagger(cfg, "rec-IQL")
+
+
+def test_stagger_on_mesh_sharded_batch():
+    """The burn-in must compile and run on MESH-SHARDED states/timesteps (the
+    real call site feeds sharded_env_reset outputs): shardings propagate
+    through the jitted scan and the offsets still desynchronise."""
+    from mava_tpu.parallel import make_mesh, num_learner_devices, sharded_env_reset
+
+    env = _make_env("default_ff_ippo", ["env.kwargs.time_limit=32"])
+    mesh = make_mesh()
+    n = num_learner_devices(mesh) * 4  # 4 envs per device on the test mesh
+    states, ts = sharded_env_reset(env, jax.random.PRNGKey(0), n, mesh)
+    new_states, new_ts = stagger_env_states(env, states, ts, jax.random.PRNGKey(9))
+
+    counts = np.asarray(new_states.env_state.step_count)
+    assert counts.shape == (n,)
+    assert len(np.unique(counts)) > 5
+    # Output sharding matches the input sharding (no silent gather-to-host).
+    assert (
+        new_states.env_state.step_count.sharding
+        == states.env_state.step_count.sharding
+    )
