@@ -90,27 +90,37 @@ def plot_task(env_name: str, task: str, algs: Dict, metric: str, out_dir: str) -
     fig, ax = plt.subplots(figsize=(7, 3.8))
     n_series = 0
     plotted = []
+    _STYLES = ["-", "--", ":", "-."]
     for i, (alg, runs) in enumerate(sorted(algs.items())):
         curves = [_series(steps, metric) for _, steps in runs]
         curves = [(x, y) for x, y in curves if len(x)]
         if not curves:
             continue
         color = _color_for(alg, i)
-        n_series += 1
-        plotted.append((alg, len(curves)))
-        # Align runs on the intersection grid (seeds of one config share steps;
-        # stragglers with different eval cadence are interpolated).
-        base_x = curves[0][0]
-        ys = np.stack(
-            [np.interp(base_x, x, y) for x, y in curves]
-        )  # (runs, T)
-        mean = ys.mean(axis=0)
-        ax.plot(base_x, mean, color=color, linewidth=2, label=f"{alg} ({len(ys)})")
-        if len(ys) > 1:
-            ax.fill_between(
-                base_x, ys.min(axis=0), ys.max(axis=0), color=color, alpha=0.15,
-                linewidth=0,
+        # Runs at different step budgets are NOT seeds of each other: band
+        # only within a budget group; extra budgets get their own line style
+        # (secondary encoding — the hue still follows the algorithm).
+        groups: Dict[int, list] = defaultdict(list)
+        for x, y in curves:
+            groups[int(x[-1])].append((x, y))
+        for j, budget in enumerate(sorted(groups)):
+            grp = groups[budget]
+            n_series += 1
+            plotted.append((alg, len(grp)))
+            base_x = grp[0][0]
+            ys = np.stack([np.interp(base_x, x, y) for x, y in grp])
+            label = f"{alg} ({len(ys)} runs)" if len(ys) > 1 else alg
+            if len(groups) > 1:
+                label += f" @{budget/1e6:g}M"
+            ax.plot(
+                base_x, ys.mean(axis=0), color=color, linewidth=2,
+                linestyle=_STYLES[j % len(_STYLES)], label=label,
             )
+            if len(ys) > 1:
+                ax.fill_between(
+                    base_x, ys.min(axis=0), ys.max(axis=0), color=color,
+                    alpha=0.15, linewidth=0,
+                )
 
     if not n_series:
         return ""

@@ -74,3 +74,16 @@ def test_plot_task_skips_missing_metric(tmp_path):
         "EnvA", "task-1", data["EnvA"]["task-1"], "win_rate", str(tmp_path / "plots")
     )
     assert out == ""
+
+
+def test_plot_task_splits_budget_groups(tmp_path):
+    # A 5-step run and a 10-step run are NOT seeds of each other: both series
+    # must be drawn in full (legend shows two entries, no truncating interp).
+    f = _write(
+        tmp_path, "r", "rec_ippo", {"run_1": _metrics(0, n=5), "run_2": _metrics(0, n=10)}
+    )
+    data = plot_results.collect([f])
+    out = plot_results.plot_task(
+        "EnvA", "task-1", data["EnvA"]["task-1"], "win_rate", str(tmp_path / "plots")
+    )
+    assert out.endswith(".png") and os.path.getsize(out) > 1000
