@@ -7,7 +7,11 @@ train-epoch steps (BASELINE.md: ff-ISAC ~4k env-steps/s), so the idle batch
 dimensions are even wider. Replay memory is the trade — the buffer is
 replicated per seed, so device HBM scales as `num_seeds * buffer_size`
 (keep `system.buffer_size` sized accordingly; the continuous-control tasks
-use small observations, so the default 1e6 fits several seeds).
+use small observations, so the default 1e6 fits several seeds). On a
+multi-chip slice, `+system.seed_shards=K` shards the seed axis over a 2-D
+`(seed, data)` mesh instead, dividing per-device buffer HBM by K (see
+`make_seed_mesh` / `make_seed_sharded_mesh`; equivalence-tested in
+`tests/test_seed_sharding.py`).
 
 Mechanics: the stock `ff_isac.init` is run once per seed (seed s uses
 `system.seed + s`) and the resulting learner states are STACKED on a leading
@@ -42,9 +46,10 @@ from mava_tpu.envs.wrappers import get_final_step_metrics
 from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
 from mava_tpu.parallel import (
     DATA_AXIS,
+    SEED_AXIS,
     build_learner,
     make_mesh,
-    num_learner_devices,
+    make_seed_sharded_mesh,
 )
 from mava_tpu.systems.sac import ff_isac
 from mava_tpu.utils.config import Config, load_config
@@ -52,9 +57,34 @@ from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 
 
-def lift_specs(spec_tree: Any) -> Any:
-    """Prepend an unsharded seed axis to every PartitionSpec in a tree."""
-    return jax.tree.map(lambda s: P(None, *s), spec_tree)
+def lift_specs(spec_tree: Any, seed_axis: Any = None) -> Any:
+    """Prepend a seed axis to every PartitionSpec in a tree.
+
+    ``seed_axis=None`` (default) lifts with an UNSHARDED seed axis: every
+    device holds all seeds (fine for on-policy, HBM-bound for replay systems).
+    ``seed_axis=SEED_AXIS`` shards the seed axis over the ``seed`` row of a
+    2-D ``make_seed_sharded_mesh`` — each device holds only its local seeds'
+    replay buffers, which is the multi-chip fix for the measured vmap-seeds
+    OOM boundary (BASELINE.md j362)."""
+    return jax.tree.map(lambda s: P(seed_axis, *s), spec_tree)
+
+
+def make_seed_mesh(cfg: Config, num_seeds: int):
+    """Resolve the multi-seed mesh from `system.seed_shards` (default 1).
+
+    Returns ``(mesh, seed_axis)``: the default 1-D data mesh with an unsharded
+    (`None`) seed axis, or — when ``system.seed_shards > 1`` — a 2-D
+    ``(seed, data)`` mesh with the seed axis name to shard over. Seed sharding
+    divides per-device replay-buffer HBM by ``seed_shards`` (BASELINE.md j362
+    boundary) at the cost of running each seed over fewer data shards."""
+    seed_shards = int(cfg.system.get("seed_shards", 1))
+    if seed_shards <= 1:
+        return make_mesh(), None
+    if num_seeds % seed_shards != 0:
+        raise ValueError(
+            f"system.seed_shards={seed_shards} must divide num_seeds={num_seeds}"
+        )
+    return make_seed_sharded_mesh(seed_shards), SEED_AXIS
 
 
 def stack_states(states: list) -> Any:
@@ -82,14 +112,23 @@ def place_state(state: Any, spec_tree: Any, mesh) -> Any:
 
 def learner_setup(
     cfg: Config, mesh, num_seeds: int, centralised_critic: bool = False,
-    sweep_lrs=None,
+    sweep_lrs=None, seed_axis=None,
 ) -> Tuple[Any, Any, Any, Any, Any]:
     """Per-seed stock init, stacked and placed with seed-lifted specs.
 
     With `sweep_lrs`, entry i keeps the SAME seed but its policy/q learning
     rate becomes `sweep_lrs[i]`, baked into optimizer STATE by the swept-Adam
     init (`ff_isac.init(swept_lr=True)`) — stacking the states automatically
-    yields the (S,)-shaped peak_lr leaves the vmapped update sweeps over."""
+    yields the (S,)-shaped peak_lr leaves the vmapped update sweeps over.
+
+    With `seed_axis=SEED_AXIS`, `mesh` is a 2-D `(seed, data)` mesh from
+    `make_seed_sharded_mesh` and the seed axis is SHARDED over it: each device
+    group holds only its local seeds' replay buffers (the multi-chip fix for
+    the per-seed buffer HBM scaling). The stock update fn is unchanged — its
+    `pmean(DATA_AXIS)` reduces within one seed group by mesh construction."""
+    # Stock init must see the PER-SEED data mesh (one row of a 2-D seed mesh):
+    # env counts and rng rows are per-seed quantities.
+    setup_mesh = make_mesh(list(mesh.devices[0])) if seed_axis else mesh
     states = []
     for s in range(num_seeds):
         cfg_s = copy.deepcopy(cfg)
@@ -99,14 +138,14 @@ def learner_setup(
             cfg_s.system.policy_lr = float(sweep_lrs[s])
             cfg_s.system.q_lr = float(sweep_lrs[s])
         envs_, networks, optims, rb, ls, target_entropy, _ = ff_isac.init(
-            cfg_s, mesh, centralised_critic, swept_lr=sweep_lrs is not None
+            cfg_s, setup_mesh, centralised_critic, swept_lr=sweep_lrs is not None
         )
         states.append(jax.device_get(ls))
     # env/networks/optims/rb are structurally identical across seeds; keep the last.
     stacked = stack_states(states)
 
     stock_specs = ff_isac._state_specs(stacked.buffer_state)
-    seed_specs = lift_specs(stock_specs)
+    seed_specs = lift_specs(stock_specs, seed_axis)
     learner_state = place_state(stacked, seed_specs, mesh)
 
     env, eval_env = envs_
@@ -119,14 +158,17 @@ def learner_setup(
         jax.vmap(explore_fn),
         mesh,
         in_specs=(seed_specs,),
-        out_specs=(seed_specs, lift_specs(P(None, DATA_AXIS))),
+        out_specs=(seed_specs, lift_specs(P(None, DATA_AXIS), seed_axis)),
         donate=donate,
     )
     update = build_learner(
         jax.vmap(update_fn),
         mesh,
         in_specs=(seed_specs,),
-        out_specs=(seed_specs, (lift_specs(P(None, None, DATA_AXIS)), P())),
+        out_specs=(
+            seed_specs,
+            (lift_specs(P(None, None, DATA_AXIS), seed_axis), lift_specs(P(), seed_axis)),
+        ),
         donate=donate,
     )
     return (env, eval_env), networks, (explore, update), learner_state, num_seeds
@@ -136,27 +178,33 @@ def run_experiment(
     cfg: Config, centralised_critic: bool = False, sweep_lrs=None
 ) -> float:
     cfg = copy.deepcopy(cfg)
-    mesh = make_mesh()
-    n_devices = num_learner_devices(mesh)
-    cfg.arch.n_devices = n_devices
-    cfg = check_total_timesteps(cfg)
     if sweep_lrs is not None:
         num_seeds = len(sweep_lrs)
     else:
         num_seeds = int(cfg.system.get("num_seeds", 4))
+    mesh, seed_axis = make_seed_mesh(cfg, num_seeds)
+    # n_devices is the PER-SEED data-shard count (the whole mesh when the seed
+    # axis is unsharded; one seed row of a 2-D seed-sharded mesh otherwise).
+    n_devices = mesh.shape[DATA_AXIS]
+    cfg.arch.n_devices = n_devices
+    cfg = check_total_timesteps(cfg)
 
     steps_per_rollout = int(cfg.system.total_timesteps // cfg.arch.num_evaluation)
     anakin_act_steps = n_devices * cfg.arch.num_envs * cfg.system.rollout_length
     cfg.system.scan_steps = max(1, int(steps_per_rollout / anakin_act_steps))
 
     (env, eval_env), networks, (explore, update), learner_state, _ = learner_setup(
-        cfg, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs
+        cfg, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs,
+        seed_axis=seed_axis,
     )
 
     logger = MavaLogger(cfg)
     actor, _ = networks
     eval_act_fn = make_ff_eval_act_fn(actor.apply, cfg)
-    evaluator = get_eval_fn(eval_env, eval_act_fn, cfg, mesh, absolute_metric=False)
+    # Eval always rides a 1-D data mesh over ALL devices (params replicated);
+    # the 2-D seed mesh is a training-placement concern only.
+    eval_mesh = mesh if seed_axis is None else make_mesh()
+    evaluator = get_eval_fn(eval_env, eval_act_fn, cfg, eval_mesh, absolute_metric=False)
     key = jax.random.PRNGKey(cfg.system.seed)
 
     start_time = time.time()

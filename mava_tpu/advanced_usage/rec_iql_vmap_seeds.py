@@ -7,11 +7,22 @@ leading axis, and the stock fused act+train update fn is wrapped in
 unsharded seed axis. The epsilon schedule is driven by the per-seed
 `time_steps` counter, which advances identically across seeds, so every seed
 sees exactly the stock exploration schedule. Replay memory is replicated per
-seed (`num_seeds * buffer_size` trajectories of HBM).
+seed (`num_seeds * buffer_size` trajectories of HBM) — the measured 1-chip
+boundary is ~2 seeds at default buffer sizes (BASELINE.md j362).
+
+Multi-chip escape hatch: `+system.seed_shards=K` shards the seed axis over a
+2-D `(seed, data)` mesh (`make_seed_sharded_mesh`) so each device holds only
+`num_seeds / K` buffers; the stock update's `pmean('data')` then syncs within
+one seed group by mesh construction, so independent seeds never mix. On an
+8-chip slice, 8 seeds at `seed_shards=8` cost the HBM of ONE stock run per
+chip.
 
 Usage:
     python -m mava_tpu.advanced_usage.rec_iql_vmap_seeds \
         env=smax env/scenario=2s3z +system.num_seeds=4
+    # 8 seeds, one replay buffer per chip, on an 8-chip slice:
+    python -m mava_tpu.advanced_usage.rec_iql_vmap_seeds \
+        env=smax env/scenario=2s3z +system.num_seeds=8 +system.seed_shards=8
 """
 
 from __future__ import annotations
@@ -26,6 +37,7 @@ from jax.sharding import PartitionSpec as P
 
 from mava_tpu.advanced_usage.ff_isac_vmap_seeds import (
     lift_specs,
+    make_seed_mesh,
     place_state,
     stack_states,
 )
@@ -36,7 +48,6 @@ from mava_tpu.parallel import (
     DATA_AXIS,
     build_learner,
     make_mesh,
-    num_learner_devices,
 )
 from mava_tpu.systems.q_learning import rec_iql
 from mava_tpu.utils.config import Config, load_config
@@ -49,11 +60,19 @@ _stock_specs = rec_iql._state_specs
 
 
 def learner_setup(
-    cfg: Config, mesh, num_seeds: int, sweep_lrs=None
+    cfg: Config, mesh, num_seeds: int, sweep_lrs=None, seed_axis=None
 ) -> Tuple[Any, Any, Any, Any]:
     """Per-seed stock init, stacked. With `sweep_lrs`, entries share the SAME
     seed and differ only in q_lr, baked into optimizer state by the swept-Adam
-    init (`rec_iql.init(swept_lr=True)`)."""
+    init (`rec_iql.init(swept_lr=True)`).
+
+    With `seed_axis=SEED_AXIS`, `mesh` is a 2-D `(seed, data)` mesh and the
+    seed axis is SHARDED: each device holds `num_seeds / seed_shards` replay
+    buffers instead of all of them — the multi-chip fix for the measured
+    3-seed OOM boundary (BASELINE.md j362). The stock fused act+train update
+    is reused verbatim; its `pmean(DATA_AXIS)` reduces within one seed group
+    by mesh construction."""
+    setup_mesh = make_mesh(list(mesh.devices[0])) if seed_axis else mesh
     states = []
     for s in range(num_seeds):
         cfg_s = copy.deepcopy(cfg)
@@ -62,12 +81,12 @@ def learner_setup(
         else:
             cfg_s.system.q_lr = float(sweep_lrs[s])
         envs_, q_net, opt, rb, ls, _ = rec_iql.init(
-            cfg_s, mesh, swept_lr=sweep_lrs is not None
+            cfg_s, setup_mesh, swept_lr=sweep_lrs is not None
         )
         states.append(jax.device_get(ls))
     stacked = stack_states(states)
 
-    seed_specs = lift_specs(_stock_specs(stacked.buffer_state))
+    seed_specs = lift_specs(_stock_specs(stacked.buffer_state), seed_axis)
     learner_state = place_state(stacked, seed_specs, mesh)
 
     env, eval_env = envs_
@@ -77,7 +96,10 @@ def learner_setup(
         jax.vmap(update_fn),
         mesh,
         in_specs=(seed_specs,),
-        out_specs=(seed_specs, (lift_specs(P(None, None, DATA_AXIS)), P())),
+        out_specs=(
+            seed_specs,
+            (lift_specs(P(None, None, DATA_AXIS), seed_axis), lift_specs(P(), seed_axis)),
+        ),
         donate=cfg.arch.get("donate_buffers", False),
     )
     return (env, eval_env), q_net, update, learner_state
@@ -85,21 +107,22 @@ def learner_setup(
 
 def run_experiment(cfg: Config, sweep_lrs=None) -> float:
     cfg = copy.deepcopy(cfg)
-    mesh = make_mesh()
-    n_devices = num_learner_devices(mesh)
-    cfg.arch.n_devices = n_devices
-    cfg = check_total_timesteps(cfg)
     if sweep_lrs is not None:
         num_seeds = len(sweep_lrs)
     else:
         num_seeds = int(cfg.system.get("num_seeds", 4))
+    mesh, seed_axis = make_seed_mesh(cfg, num_seeds)
+    # Per-seed data-shard count (the whole mesh unless the seed axis is sharded).
+    n_devices = mesh.shape[DATA_AXIS]
+    cfg.arch.n_devices = n_devices
+    cfg = check_total_timesteps(cfg)
 
     steps_per_rollout = int(cfg.system.total_timesteps // cfg.arch.num_evaluation)
     anakin_act_steps = n_devices * cfg.arch.num_envs * cfg.system.rollout_length
     cfg.system.scan_steps = max(1, int(steps_per_rollout / anakin_act_steps))
 
     (env, eval_env), q_net, update, learner_state = learner_setup(
-        cfg, mesh, num_seeds, sweep_lrs=sweep_lrs
+        cfg, mesh, num_seeds, sweep_lrs=sweep_lrs, seed_axis=seed_axis
     )
 
     logger = MavaLogger(cfg)
@@ -116,7 +139,10 @@ def run_experiment(cfg: Config, sweep_lrs=None) -> float:
         action = eps_greedy_dist.sample(seed=key).squeeze(0)
         return action, {"hidden_state": next_hidden_state}
 
-    evaluator = get_eval_fn(eval_env, eval_act_fn, cfg, mesh, absolute_metric=False)
+    # Eval rides a 1-D data mesh over ALL devices (params replicated); the 2-D
+    # seed mesh is a training-placement concern only.
+    eval_mesh = mesh if seed_axis is None else make_mesh()
+    evaluator = get_eval_fn(eval_env, eval_act_fn, cfg, eval_mesh, absolute_metric=False)
     eval_batch_size = get_num_eval_envs(cfg, absolute_metric=False)
 
     seed_returns = jnp.zeros(num_seeds)

@@ -1,7 +1,9 @@
 from mava_tpu.parallel.mesh import (
     DATA_AXIS,
+    SEED_AXIS,
     build_learner,
     make_mesh,
+    make_seed_sharded_mesh,
     num_learner_devices,
     replicate_sharding,
     shard_leading_axis,
@@ -17,10 +19,12 @@ from mava_tpu.parallel.distributed import (
 
 __all__ = [
     "DATA_AXIS",
+    "SEED_AXIS",
     "build_learner",
     "initialize",
     "is_main_process",
     "make_mesh",
+    "make_seed_sharded_mesh",
     "num_learner_devices",
     "put_replicated",
     "put_sharded_rows",

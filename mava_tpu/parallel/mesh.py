@@ -26,12 +26,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SEED_AXIS = "seed"
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """A 1-D data mesh over the given (default: all) devices."""
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_seed_sharded_mesh(
+    seed_shards: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """A 2-D ``(seed, data)`` mesh for SEED-SHARDED multi-seed training.
+
+    The vmapped multi-seed programs (`advanced_usage/*_vmap_seeds.py`) stack N
+    independent seeds on a leading axis. With the default 1-D mesh that axis is
+    UNSHARDED, so every device holds all N seeds' replay buffers — the measured
+    OOM boundary for replay systems (BASELINE.md j362: vmapped rec-IQL exhausts
+    a 16 GB chip at 3 seeds of default-size buffers).
+
+    Sharding the seed axis over its own mesh axis is the TPU answer: each device
+    group holds only ``N / seed_shards`` seeds' state, and — because independent
+    seeds must NOT average gradients — the stock learner's ``pmean(DATA_AXIS)``
+    needs no change at all: inside ``shard_map`` over this mesh it reduces over
+    the ``data`` rows of one seed group only. The stock update fn is reused
+    verbatim; only the placement changes.
+
+    ``seed_shards`` must divide the device count; each seed group then runs the
+    stock program over ``n_devices // seed_shards`` data shards.
+    """
+    devices = list(devices) if devices is not None else jax.devices()
+    n = len(devices)
+    if n % seed_shards != 0:
+        raise ValueError(
+            f"seed_shards={seed_shards} must divide the device count ({n})"
+        )
+    grid = np.array(devices).reshape(seed_shards, n // seed_shards)
+    return Mesh(grid, (SEED_AXIS, DATA_AXIS))
 
 
 def num_learner_devices(mesh: Mesh) -> int:

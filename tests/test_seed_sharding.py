@@ -1,0 +1,144 @@
+"""Seed-SHARDED multi-seed training equals the unsharded vmap-seeds program.
+
+`make_seed_sharded_mesh` answers the measured j362 boundary (BASELINE.md):
+vmapping seeds replicates the replay buffer per seed on EVERY device, so a
+16 GB chip OOMs at ~3 rec-IQL seeds. Sharding the seed axis over its own mesh
+axis gives each device only `num_seeds / seed_shards` buffers, and — because
+the stock learner's `pmean('data')` reduces over the data axis of a 2-D
+`(seed, data)` mesh — independent seeds never mix gradients, with the stock
+update fn reused verbatim.
+
+Claims tested here (CLAUDE.md invariant: perf/placement transformations are
+distribution-preserving, with tests):
+  1. per-seed outputs of the seed-sharded program match the unsharded vmap
+     program run over the SAME per-seed data-shard count (tight tolerance —
+     placement changes collective accumulation order in the last bits);
+  2. each device materialises only its LOCAL seeds' replay buffers (the
+     actual memory claim);
+  3. the sharded program's losses differ across seeds (i.e. the pmean did
+     NOT average over the seed axis).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from mava_tpu.parallel import SEED_AXIS, make_mesh, make_seed_sharded_mesh
+from mava_tpu.utils.config import load_config
+
+NUM_SEEDS = 2
+
+
+def _tiny_iql_cfg():
+    cfg = load_config(
+        "default_rec_iql",
+        [
+            "env=smax",
+            "env/scenario=2s3z",
+            "arch.num_envs=2",
+            "system.rollout_length=4",
+            "system.buffer_size=16",
+            "system.sample_batch_size=2",
+            "system.sample_sequence_length=8",
+            "system.epochs=1",
+            "system.min_buffer_size=2",
+            "logger.use_console=False",
+        ],
+    )
+    cfg.system.scan_steps = 2
+    return cfg
+
+
+def _assert_tree_close(got, want):
+    for g, w in zip(jax.tree.leaves(got), jax.tree.leaves(want)):
+        g, w = np.asarray(g), np.asarray(w)
+        if np.issubdtype(g.dtype, np.floating):
+            np.testing.assert_allclose(g, w, rtol=1e-4, atol=1e-6)
+        else:
+            np.testing.assert_array_equal(g, w)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_rec_iql_seed_sharded_matches_unsharded_vmap():
+    from mava_tpu.advanced_usage import rec_iql_vmap_seeds as vs
+
+    # Sharded: 2 seed groups x 4 data shards on the 8-device mesh.
+    cfg_sh = _tiny_iql_cfg()
+    cfg_sh.arch.n_devices = 4
+    mesh_sh = make_seed_sharded_mesh(NUM_SEEDS)
+    _, _, update_sh, state_sh = vs.learner_setup(
+        cfg_sh, mesh_sh, NUM_SEEDS, seed_axis=SEED_AXIS
+    )
+
+    # Memory claim: each device holds ONE seed's buffer rows, not all of them.
+    exp_leaf = jax.tree.leaves(state_sh.buffer_state.experience)[0]
+    local_seed_dims = {s.data.shape[0] for s in exp_leaf.addressable_shards}
+    assert local_seed_dims == {NUM_SEEDS // 2}, (
+        f"seed axis not sharded: per-device leading dims {local_seed_dims}"
+    )
+
+    out_sh, (_, losses_sh) = update_sh(state_sh)
+    out_sh = jax.device_get(out_sh)
+
+    # Baseline: the existing unsharded vmap program over the SAME per-seed
+    # data-shard count (a 1-D mesh over the first 4 devices).
+    cfg_un = _tiny_iql_cfg()
+    cfg_un.arch.n_devices = 4
+    mesh_un = make_mesh(jax.devices()[:4])
+    _, _, update_un, state_un = vs.learner_setup(cfg_un, mesh_un, NUM_SEEDS)
+
+    # Same starting point by construction (identical per-seed stock inits).
+    _assert_tree_close(jax.device_get(state_sh), jax.device_get(state_un))
+
+    out_un, (_, losses_un) = update_un(state_un)
+    _assert_tree_close(out_sh, jax.device_get(out_un))
+
+    # Independence: seeds produced different losses -> pmean stayed within a
+    # seed group (a pmean over the seed axis would equalise them).
+    q_loss = np.asarray(jax.device_get(losses_sh["q_loss"]))
+    assert not np.allclose(q_loss[0], q_loss[1]), "seed losses identical: pmean leaked"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_isac_seed_sharded_matches_unsharded_vmap():
+    """Same claim for the SAC family (explore + one update through the
+    per-seed replay buffers)."""
+    from mava_tpu.advanced_usage import ff_isac_vmap_seeds as vs
+
+    def tiny_cfg():
+        cfg = load_config(
+            "default_ff_isac",
+            [
+                "env=maswarm",
+                "env.kwargs.time_limit=8",
+                "arch.num_envs=2",
+                "system.rollout_length=2",
+                "system.explore_steps=8",
+                "system.buffer_size=32",
+                "system.batch_size=4",
+                "system.epochs=2",
+                "logger.use_console=False",
+            ],
+        )
+        cfg.system.scan_steps = 2
+        return cfg
+
+    cfg_sh = tiny_cfg()
+    cfg_sh.arch.n_devices = 4
+    mesh_sh = make_seed_sharded_mesh(NUM_SEEDS)
+    _, _, (explore_sh, update_sh), state_sh, _ = vs.learner_setup(
+        cfg_sh, mesh_sh, NUM_SEEDS, seed_axis=SEED_AXIS
+    )
+
+    cfg_un = tiny_cfg()
+    cfg_un.arch.n_devices = 4
+    mesh_un = make_mesh(jax.devices()[:4])
+    _, _, (explore_un, update_un), state_un, _ = vs.learner_setup(
+        cfg_un, mesh_un, NUM_SEEDS
+    )
+
+    mid_sh, _ = explore_sh(state_sh)
+    out_sh, _ = update_sh(mid_sh)
+    mid_un, _ = explore_un(state_un)
+    out_un, _ = update_un(mid_un)
+    _assert_tree_close(jax.device_get(out_sh), jax.device_get(out_un))
