@@ -74,10 +74,15 @@ def learner_setup(
     `sweep_lrs`, over LEARNING RATES (shared init/env seeds, swept optimizer;
     see ff_ippo_vmap_seeds.learner_setup for the mechanism)."""
     reject_stagger(config, "rec-IPPO vmap-seeds/sweep/PBT")
-    # Honor network.gru_impl exactly like the stock recurrent setups do.
-    from mava_tpu.networks import actor_critic as _ac
+    # Honor network.gru_impl exactly like the stock recurrent setups do:
+    # resolve against the mesh platform and thread the concrete impl through
+    # network construction (no module-level state).
+    from mava_tpu.networks.actor_critic import resolve_gru_impl
 
-    _ac.GRU_IMPL = config.network.get("gru_impl", _ac.GRU_IMPL)
+    gru_impl = resolve_gru_impl(
+        config.network.get("gru_impl", None),
+        platform=mesh.devices.flat[0].platform,
+    )
 
     n_devices = num_learner_devices(mesh)
     num_agents = env.num_agents
@@ -88,12 +93,14 @@ def learner_setup(
         post_torso=make_torso(config.network.actor_network.post_torso),
         action_head=make_action_head(config.network.action_head, env.action_dim),
         hidden_state_dim=config.network.hidden_state_dim,
+        gru_impl=gru_impl,
     )
     critic_kwargs = dict(
         pre_torso=make_torso(config.network.critic_network.pre_torso),
         post_torso=make_torso(config.network.critic_network.post_torso),
         hidden_state_dim=config.network.hidden_state_dim,
         centralised_critic=centralised_critic,
+        gru_impl=gru_impl,
     )
     critic_network = Critic(**critic_kwargs)
     critic_carry_network = Critic(**critic_kwargs, collect_carries=True)

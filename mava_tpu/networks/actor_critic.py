@@ -139,10 +139,11 @@ class FusedGRUCell(nn.Module):
         return new_h, new_h
 
 
-# Which ScannedRNN implementation to trace. "auto" (default) resolves to
-# "pallas" on TPU — the measured winner on the full compiled rec-IPPO step
-# (277k vs 202k steps/s vs "hoisted", scripts/profile_gru_ab.py, TPU v5 lite)
-# — and "hoisted" elsewhere (off-TPU the Pallas kernel runs in interpret mode,
+# DEFAULT ScannedRNN implementation when a module is constructed without an
+# explicit `gru_impl` (tests, ad-hoc notebooks). "auto" resolves to "pallas"
+# on TPU — the measured winner on the full compiled rec-IPPO step (277k vs
+# 202k steps/s vs "hoisted", scripts/profile_gru_ab.py, TPU v5 lite) — and
+# "hoisted" elsewhere (off-TPU the Pallas kernel runs in interpret mode,
 # which is only fit for tests). "hoisted" computes the input projection for
 # ALL timesteps as one wide MXU matmul before the serial scan; "pallas"
 # additionally runs the serial recurrence as ONE fused Pallas kernel
@@ -151,21 +152,31 @@ class FusedGRUCell(nn.Module):
 # scripts/profile_gru_ab.py — and as the monkeypatch point for the flax
 # variant). Equivalence is pinned in tests/test_recurrent.py and
 # tests/test_pallas_gru.py.
+#
+# The SYSTEMS never mutate this: they resolve `network.gru_impl` from config
+# at build time (against the mesh's device platform) and thread the concrete
+# impl through network construction, so two systems with different impls
+# coexist in one process (pinned in tests/test_recurrent.py).
 GRU_IMPL = "auto"
 
 
-def resolve_gru_impl(impl: Optional[str] = None) -> str:
+def resolve_gru_impl(
+    impl: Optional[str] = None, platform: Optional[str] = None
+) -> str:
     """Resolve a gru_impl setting ("auto" picks per-backend) to a concrete one.
 
-    "auto" resolves against `jax.default_backend()` at TRACE time, i.e. it
-    assumes the computation runs on the process's default backend. Code that
-    explicitly jits/places a recurrent network on CPU inside a TPU-default
-    process must pass a concrete impl ("hoisted") instead — the compiled
-    (non-interpret) Pallas path does not lower on CPU.
+    `platform` is the device platform the network will actually run on (e.g.
+    `mesh.devices.flat[0].platform` — how the systems call this at build time);
+    without it, "auto" falls back to `jax.default_backend()` at call/trace
+    time, i.e. it assumes the computation runs on the process's default
+    backend. Code that explicitly jits/places a recurrent network on a
+    non-default backend should pass `platform` (or a concrete impl) — the
+    compiled (non-interpret) Pallas path does not lower on CPU.
     """
     impl = impl or GRU_IMPL
     if impl == "auto":
-        return "pallas" if jax.default_backend() == "tpu" else "hoisted"
+        platform = platform or jax.default_backend()
+        return "pallas" if platform == "tpu" else "hoisted"
     return impl
 
 
@@ -221,12 +232,15 @@ class ScannedRNN(nn.Module):
     # by the post-rollout batched critic pass to reconstruct the per-step hidden
     # states a fused in-rollout critic would have stored.
     collect_carries: bool = False
+    # Implementation selector, threaded from config by the systems (None falls
+    # back to the module default GRU_IMPL so bare constructions keep working).
+    gru_impl: Optional[str] = None
 
     @nn.compact
     def __call__(
         self, carry: jnp.ndarray, x: Tuple[jnp.ndarray, jnp.ndarray]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        impl = resolve_gru_impl()
+        impl = resolve_gru_impl(self.gru_impl)
         if impl == "cell":
             return _CellScanRNN(self.hidden_state_dim, self.collect_carries)(carry, x)
 
@@ -297,6 +311,7 @@ class RecurrentActor(nn.Module):
     post_torso: nn.Module
     action_head: nn.Module
     hidden_state_dim: int = 128
+    gru_impl: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -304,9 +319,9 @@ class RecurrentActor(nn.Module):
     ):
         observation, done = observation_done
         embedding = self.pre_torso(observation.agents_view)
-        policy_hidden_state, embedding = ScannedRNN(self.hidden_state_dim)(
-            policy_hidden_state, (embedding, done)
-        )
+        policy_hidden_state, embedding = ScannedRNN(
+            self.hidden_state_dim, gru_impl=self.gru_impl
+        )(policy_hidden_state, (embedding, done))
         embedding = self.post_torso(embedding)
         pi = self.action_head(embedding, observation)
         return policy_hidden_state, pi
@@ -325,6 +340,7 @@ class RecurrentValueNet(nn.Module):
     centralised_critic: bool = False
     hidden_state_dim: int = 128
     collect_carries: bool = False
+    gru_impl: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -341,7 +357,9 @@ class RecurrentValueNet(nn.Module):
             x = observation.agents_view
         embedding = self.pre_torso(x)
         value_hidden_state, rnn_out = ScannedRNN(
-            self.hidden_state_dim, collect_carries=self.collect_carries
+            self.hidden_state_dim,
+            collect_carries=self.collect_carries,
+            gru_impl=self.gru_impl,
         )(value_hidden_state, (embedding, done))
         if self.collect_carries:
             carries, embedding = rnn_out
@@ -363,6 +381,7 @@ class RecQNetwork(nn.Module):
     post_torso: nn.Module
     num_actions: int
     hidden_state_dim: int = 128
+    gru_impl: Optional[str] = None
 
     @nn.compact
     def get_q_values(
@@ -370,9 +389,9 @@ class RecQNetwork(nn.Module):
     ):
         obs, resets = observations_resets
         embedding = self.pre_torso(obs.agents_view)
-        hidden_state, embedding = ScannedRNN(self.hidden_state_dim)(
-            hidden_state, (embedding, resets)
-        )
+        hidden_state, embedding = ScannedRNN(
+            self.hidden_state_dim, gru_impl=self.gru_impl
+        )(hidden_state, (embedding, resets))
         embedding = self.post_torso(embedding)
         q_values = nn.Dense(self.num_actions, kernel_init=orthogonal(0.01))(embedding)
         return hidden_state, q_values

@@ -362,10 +362,16 @@ def learner_setup(
     env: MarlEnv, keys: Tuple, config: Config, mesh, centralised_critic: bool = False
 ) -> Tuple[Callable, Any, RNNLearnerState]:
     reject_stagger(config, "rec-IPPO/rec-MAPPO")
-    # Select the ScannedRNN implementation from config (hoisted | pallas |
-    # cell) — a module-level switch so every GRU in the program agrees.
-    from mava_tpu.networks import actor_critic as _ac
-    _ac.GRU_IMPL = config.network.get("gru_impl", _ac.GRU_IMPL)
+    # Resolve the ScannedRNN implementation from config (hoisted | pallas |
+    # cell | auto) against the platform the MESH actually runs on, and thread
+    # the concrete impl through network construction — no module-level state,
+    # so systems with different impls coexist in one process
+    # (tests/test_recurrent.py::test_gru_impl_isolation_across_systems).
+    from mava_tpu.networks.actor_critic import resolve_gru_impl
+    gru_impl = resolve_gru_impl(
+        config.network.get("gru_impl", None),
+        platform=mesh.devices.flat[0].platform,
+    )
 
     n_devices = num_learner_devices(mesh)
     num_agents = env.num_agents
@@ -378,12 +384,14 @@ def learner_setup(
         post_torso=make_torso(config.network.actor_network.post_torso),
         action_head=make_action_head(config.network.action_head, env.action_dim),
         hidden_state_dim=config.network.hidden_state_dim,
+        gru_impl=gru_impl,
     )
     critic_network = Critic(
         pre_torso=make_torso(config.network.critic_network.pre_torso),
         post_torso=make_torso(config.network.critic_network.post_torso),
         centralised_critic=centralised_critic,
         hidden_state_dim=config.network.hidden_state_dim,
+        gru_impl=gru_impl,
     )
     # Same params, carry-collecting call style — used for the post-rollout batched
     # critic pass (values + per-step hidden states in one go).
@@ -393,6 +401,7 @@ def learner_setup(
         centralised_critic=centralised_critic,
         hidden_state_dim=config.network.hidden_state_dim,
         collect_carries=True,
+        gru_impl=gru_impl,
     )
 
     actor_lr = make_learning_rate(config.system.actor_lr, config)

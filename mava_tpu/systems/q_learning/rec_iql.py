@@ -271,10 +271,14 @@ def make_update_fn(
 
 def init(cfg: Config, mesh, swept_lr: bool = False) -> Tuple:
     reject_stagger(cfg, "rec-IQL")
-    # Select the ScannedRNN implementation from config (hoisted | pallas |
-    # cell) — a module-level switch so every GRU in the program agrees.
-    from mava_tpu.networks import actor_critic as _ac
-    _ac.GRU_IMPL = cfg.network.get("gru_impl", _ac.GRU_IMPL)
+    # Resolve the ScannedRNN implementation from config (hoisted | pallas |
+    # cell | auto) against the platform the MESH runs on, threaded through
+    # network construction — no module-level state (VERDICT r3 #5).
+    from mava_tpu.networks.actor_critic import resolve_gru_impl
+    gru_impl = resolve_gru_impl(
+        cfg.network.get("gru_impl", None),
+        platform=mesh.devices.flat[0].platform,
+    )
 
     n_devices = num_learner_devices(mesh)
 
@@ -301,6 +305,7 @@ def init(cfg: Config, mesh, swept_lr: bool = False) -> Tuple:
         make_torso(cfg.network.q_network.post_torso),
         action_dim,
         cfg.network.hidden_state_dim,
+        gru_impl=gru_impl,
     )
     q_params = q_net.init(q_key, init_hidden_state, init_x)
     q_target_params = q_net.init(q_key, init_hidden_state, init_x)

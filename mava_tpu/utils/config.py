@@ -136,19 +136,30 @@ _cache_enabled = False
 
 
 def _host_cpu_fingerprint() -> str:
-    """Short hash of this host's CPU feature flags. XLA:CPU AOT executables
-    embed ISA features of the machine that COMPILED them; loading one on a host
-    with fewer features can SIGILL/segfault (the cpu_aot_loader warns exactly
-    this). Scoping the CPU cache per CPU-feature-set makes stale cross-host
-    entries unreachable instead of fatal."""
+    """Short hash of this host's CPU identity. XLA:CPU AOT executables embed
+    ISA + TUNING features of the machine that COMPILED them; loading one on a
+    different host can SIGILL/segfault (the cpu_aot_loader warns exactly
+    this). Scoping the CPU cache per fingerprint makes stale cross-host
+    entries unreachable instead of fatal.
+
+    The hash covers `model name` and `microcode` in addition to the feature
+    `flags`: LLVM derives tuning features like `+prefer-no-gather` from the
+    CPU model/microcode (gather-mitigation state), so two hosts with
+    identical cpuinfo FLAGS can still disagree on the compiled feature set —
+    observed Aug 2026 when a container respawned on a same-family host and
+    the flags-only fingerprint collided."""
     import hashlib
 
     try:
+        picked = {}
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
-                    return hashlib.md5(flags.encode()).hexdigest()[:12]
+                key = line.split(":", 1)[0].strip()
+                if key in ("flags", "model name", "microcode") and key not in picked:
+                    picked[key] = " ".join(sorted(line.split(":", 1)[1].split()))
+        if picked:
+            ident = "|".join(f"{k}={picked[k]}" for k in sorted(picked))
+            return hashlib.md5(ident.encode()).hexdigest()[:12]
     except OSError:  # pragma: no cover - non-linux
         pass
     import platform

@@ -90,14 +90,12 @@ def main():
         if name == "flax":
             actor_critic.FusedGRUCell = FlaxGRUAdapter  # monkeypatch for variant D
         try:
-            # Select via CONFIG: learner_setup applies network.gru_impl to the
-            # module global, so a bare monkeypatch of GRU_IMPL would be
-            # clobbered; the assert below catches any future re-clobbering.
+            # Select via CONFIG: learner_setup resolves network.gru_impl and
+            # threads the concrete impl through network construction.
             cfg = load_config(
                 "default_rec_ippo", list(OVERRIDES) + [f"network.gru_impl={impl}"]
             )
             learn, state = build(cfg)
-            assert actor_critic.GRU_IMPL == impl, actor_critic.GRU_IMPL
             dt = timed(learn, state, n)
         except Exception as e:  # a failing variant must not kill the A/B
             results[name] = {"error": f"{type(e).__name__}: {e}"}

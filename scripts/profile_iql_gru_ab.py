@@ -26,7 +26,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from mava_tpu.networks import actor_critic
 from mava_tpu.parallel.mesh import make_mesh, num_learner_devices
 from mava_tpu.systems.q_learning import rec_iql
 from mava_tpu.utils.config import load_config
@@ -71,7 +70,6 @@ def main():
                 "default_rec_iql", list(OVERRIDES) + [f"network.gru_impl={impl}"]
             )
             update, state, cfg = build(cfg)
-            assert actor_critic.GRU_IMPL == impl, actor_critic.GRU_IMPL
             dt = timed(update, state, n)
         except Exception as e:  # a failing variant must not kill the A/B
             results[impl] = {"error": f"{type(e).__name__}: {e}"}

@@ -336,3 +336,68 @@ def test_pallas_impl_broadcast_resets():
         actor_critic.GRU_IMPL = prev_impl
     for g, w in zip(jax.tree.leaves(out_p), jax.tree.leaves(out_h)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-5, atol=1e-6)
+
+
+def test_gru_impl_isolation_across_instances():
+    """Two ScannedRNN instances with DIFFERENT `gru_impl` fields coexist in one
+    process (VERDICT r3 #5: the impl used to be a mutable module global, so two
+    recurrent systems built with different settings silently shared whichever
+    was set last). Same params serve both; interleaved applies each trace their
+    own path (proved by a spy on the pallas kernel); the module default is
+    never mutated."""
+    from mava_tpu.networks import actor_critic
+    from mava_tpu.ops import pallas_gru
+
+    assert actor_critic.GRU_IMPL == "auto"  # package code must never mutate it
+
+    T, B, A, F, H = 6, 3, 2, 5, 8
+    xs = jax.random.normal(jax.random.PRNGKey(21), (T, B, A, F))
+    resets = jax.random.bernoulli(jax.random.PRNGKey(22), 0.3, (T, B, A))
+    carry0 = ScannedRNN.initialize_carry((B, A), H)
+
+    rnn_hoisted = ScannedRNN(hidden_state_dim=H, gru_impl="hoisted")
+    rnn_pallas = ScannedRNN(hidden_state_dim=H, gru_impl="pallas")
+    params = rnn_hoisted.init(jax.random.PRNGKey(23), carry0, (xs, resets))
+
+    calls = []
+    orig = pallas_gru.gru_sequence
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return orig(*args, **kwargs)
+
+    pallas_gru.gru_sequence = spy
+    try:
+        out_p1 = rnn_pallas.apply(params, carry0, (xs, resets))
+        n_after_pallas = len(calls)
+        out_h = rnn_hoisted.apply(params, carry0, (xs, resets))
+        n_after_hoisted = len(calls)
+        out_p2 = rnn_pallas.apply(params, carry0, (xs, resets))
+    finally:
+        pallas_gru.gru_sequence = orig
+
+    # The pallas instance traced the kernel; the hoisted instance did not —
+    # even though it ran BETWEEN two pallas applies of the same params.
+    assert n_after_pallas > 0
+    assert n_after_hoisted == n_after_pallas
+    assert len(calls) > n_after_hoisted
+
+    for a, b in zip(jax.tree.leaves(out_p1), jax.tree.leaves(out_h)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_p1), jax.tree.leaves(out_p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+    assert actor_critic.GRU_IMPL == "auto"
+
+
+def test_resolve_gru_impl_platform_override():
+    """resolve_gru_impl resolves "auto" against the platform the MESH runs on
+    when given one (how the systems call it at build time) instead of the
+    process default backend — the ADVICE r2 trace-time-resolution fix."""
+    from mava_tpu.networks.actor_critic import resolve_gru_impl
+
+    assert resolve_gru_impl("auto", platform="tpu") == "pallas"
+    assert resolve_gru_impl("auto", platform="cpu") == "hoisted"
+    assert resolve_gru_impl(None, platform="tpu") == "pallas"  # default is auto
+    assert resolve_gru_impl("cell", platform="tpu") == "cell"  # concrete wins
+    assert resolve_gru_impl("auto") == "hoisted"  # CPU test process default
