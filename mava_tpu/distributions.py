@@ -179,6 +179,13 @@ class TanhNormal:
         return jnp.tanh(self.loc)
 
 
+def masked_greedy(q_values: Array, mask: Array) -> Array:
+    """Greedy masked argmax over the last axis — `MaskedEpsGreedy.mode()`
+    without constructing the distribution (used by the fused double-DQN
+    target pass, `systems/q_learning/rec_iql.py`)."""
+    return jnp.argmax(jnp.where(mask, q_values, _MASK_NEG), axis=-1)
+
+
 class MaskedEpsGreedy(Categorical):
     """Epsilon-greedy over masked q-values (reference `distributions.py:94-143`).
 
@@ -191,14 +198,13 @@ class MaskedEpsGreedy(Categorical):
         mask_f = mask.astype(q_values.dtype)
         n_legal = jnp.sum(mask_f, axis=-1, keepdims=True)
         uniform = mask_f / n_legal
-        masked_q = jnp.where(mask, q_values, _MASK_NEG)
+        self._greedy = masked_greedy(q_values, mask)
         greedy = jax.nn.one_hot(
-            jnp.argmax(masked_q, axis=-1), q_values.shape[-1], dtype=q_values.dtype
+            self._greedy, q_values.shape[-1], dtype=q_values.dtype
         )
         probs = epsilon * uniform + (1.0 - epsilon) * greedy
         # Represent as logits for the Categorical base (log of mixture probs).
         super().__init__(jnp.log(jnp.clip(probs, 1e-12, None)))
-        self._greedy = jnp.argmax(masked_q, axis=-1)
 
     def mode(self) -> Array:
         return self._greedy

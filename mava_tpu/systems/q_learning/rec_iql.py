@@ -24,6 +24,7 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from mava_tpu import envs as environments
+from mava_tpu.distributions import masked_greedy
 from mava_tpu.evaluator import get_eval_fn, get_num_eval_envs
 from mava_tpu.networks import RecQNetwork, ScannedRNN
 from mava_tpu.networks.factory import make_torso
@@ -168,13 +169,34 @@ def make_update_fn(
         hidden_state, next_inputs = prep_inputs_to_scannedrnn(
             next_obs, next_term_or_trunc
         )
-        _, next_online_greedy_dist = q_net.apply(
-            params.online, hidden_state, next_inputs
-        )
-        _, next_q_vals_target = q_net.apply(
-            params.target, hidden_state, next_inputs, method="get_q_values"
-        )
-        next_action = next_online_greedy_dist.mode()
+        if cfg.system.get("fused_target_pass", True):
+            # Double-DQN's online-greedy action and target Q-values both come
+            # from full-length GRU passes over the SAME next_inputs. Stacking
+            # online+target params on a leading axis and vmapping the apply
+            # folds them into ONE pass of 2x batch: one serial recurrence chain
+            # instead of two (the train phase is 96% of the fused step and the
+            # scans are its latency bound — docs/tpu_performance.md §8). The
+            # reference pays the sequential double pass
+            # (`mava/systems/q_learning/rec_iql.py:400-420`). Equivalence to
+            # the unfused path is pinned in tests/test_systems_integration.py.
+            stacked = jax.tree.map(
+                lambda o, t: jnp.stack([o, t]), params.online, params.target
+            )
+            _, q_both = jax.vmap(
+                lambda p: q_net.apply(
+                    p, hidden_state, next_inputs, method="get_q_values"
+                )
+            )(stacked)
+            next_action = masked_greedy(q_both[0], next_inputs[0].action_mask)
+            next_q_vals_target = q_both[1]
+        else:
+            _, next_online_greedy_dist = q_net.apply(
+                params.online, hidden_state, next_inputs
+            )
+            _, next_q_vals_target = q_net.apply(
+                params.target, hidden_state, next_inputs, method="get_q_values"
+            )
+            next_action = next_online_greedy_dist.mode()
         next_q_val = select_along_last(next_q_vals_target, next_action)
         next_q_val = switch_leading_axes(next_q_val)
 

@@ -467,3 +467,61 @@ def test_rec_iql_pallas_gru(fast_config_overrides):
         )
     assert spy.calls > 0
     assert isinstance(perf, float)
+
+
+def test_rec_iql_fused_target_pass_equivalence():
+    """system.fused_target_pass folds double-DQN's online-greedy + target GRU
+    passes over next_obs into ONE vmapped pass of stacked params — a
+    distribution-preserving perf transformation (CLAUDE.md invariant). Same
+    initial state, same sampled data => same greedy actions, targets,
+    gradients and updated params as the legacy sequential double pass."""
+    import copy
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mava_tpu.parallel import make_mesh, num_learner_devices
+    from mava_tpu.systems.q_learning import rec_iql
+
+    cfg = load_config(
+        "default_rec_iql",
+        [
+            "env=smax",
+            "env/scenario=2s3z",  # action masks exercise the masked argmax
+            "arch.num_envs=2",
+            "system.rollout_length=4",
+            "system.buffer_size=32",
+            "system.min_buffer_size=4",
+            "system.sample_batch_size=4",
+            "system.sample_sequence_length=8",
+            "system.epochs=2",
+            "logger.use_console=False",
+        ],
+    )
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg.system.scan_steps = 2
+
+    cfg_fused = copy.deepcopy(cfg)
+    cfg_fused.system.fused_target_pass = True
+    cfg_unfused = copy.deepcopy(cfg)
+    cfg_unfused.system.fused_target_pass = False
+
+    (env, _), q_net, opt, rb, state, _ = rec_iql.init(cfg_fused, mesh)
+    upd_f = rec_iql.build_learn_fn(
+        cfg_fused, env, q_net, opt, rb, mesh, state.buffer_state
+    )
+    upd_u = rec_iql.build_learn_fn(
+        cfg_unfused, env, q_net, opt, rb, mesh, state.buffer_state
+    )
+
+    state_f, (_, losses_f) = upd_f(state)
+    state_u, (_, losses_u) = upd_u(state)
+
+    for g, w in zip(
+        jax.tree.leaves((state_f.params, losses_f)),
+        jax.tree.leaves((state_u.params, losses_u)),
+    ):
+        g, w = np.asarray(jnp.asarray(g)), np.asarray(jnp.asarray(w))
+        np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
