@@ -17,6 +17,10 @@ are a leading seed axis on the learner state and `jax.vmap` inside `shard_map`
 Usage:
     python -m mava_tpu.advanced_usage.ff_ippo_vmap_seeds \
         env=rware env/scenario=tiny-2ag arch.num_envs=128 +system.num_seeds=4
+    # Shard the seed axis over a 2-D (seed, data) mesh on a multi-chip slice
+    # (API-uniform with the replay families; see make_seed_sharded_mesh):
+    python -m mava_tpu.advanced_usage.ff_ippo_vmap_seeds \
+        env=rware env/scenario=tiny-2ag +system.num_seeds=8 +system.seed_shards=8
 
 Per-seed env batches are real: `arch.num_envs` envs per seed per device. The
 evaluator runs per seed (cheap, outside the hot loop); final output prints a
@@ -41,11 +45,14 @@ from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
 from mava_tpu.networks import FeedForwardActor as Actor
 from mava_tpu.networks import FeedForwardValueNet as Critic
 from mava_tpu.networks.factory import make_action_head, make_torso
+from mava_tpu.advanced_usage.ff_isac_vmap_seeds import (
+    lift_specs,
+    make_eval_setup,
+    make_seed_mesh,
+)
 from mava_tpu.parallel import (
     DATA_AXIS,
     build_learner,
-    make_mesh,
-    num_learner_devices,
 )
 from mava_tpu.systems.ppo.ff_ippo import get_learner_fn
 from mava_tpu.systems.ppo.types import LearnerState, OptStates, Params
@@ -74,6 +81,7 @@ def learner_setup(
     num_seeds: int,
     centralised_critic: bool = False,
     sweep_lrs=None,
+    seed_axis=None,
 ) -> Tuple[Any, Any, LearnerState]:
     """Stock ff-IPPO learner with a leading seed axis on the whole learner state.
 
@@ -82,8 +90,17 @@ def learner_setup(
     `make_swept_optimizer` (lr read from optimizer state, identical Adam math)
     and entry i trains at `sweep_lrs[i]` for both actor and critic — N learning
     rates in one compiled program (see ff_ippo_vmap_sweep.py).
+
+    With `seed_axis=SEED_AXIS`, `mesh` is a 2-D `(seed, data)` mesh
+    (`make_seed_sharded_mesh`) and the seed axis is SHARDED over it: each
+    device group holds only `num_seeds / seed_shards` seeds' params/envs. The
+    on-policy family has no replay buffer, so this is an API-uniformity +
+    params/env-HBM lever rather than the replay-OOM fix (BASELINE.md j362);
+    the vmapped learner's `pmean(DATA_AXIS)` reduces within one seed group by
+    mesh construction either way.
     """
-    n_devices = num_learner_devices(mesh)
+    # Per-seed data-shard count (the whole mesh unless the seed axis is sharded).
+    n_devices = mesh.shape[DATA_AXIS]
     config.system.num_agents = env.num_agents
 
     actor_torso = make_torso(config.network.actor_network.pre_torso)
@@ -138,21 +155,26 @@ def learner_setup(
     apply_fns = (actor_network.apply, critic_network.apply)
     update_fns = (actor_optim.update, critic_optim.update)
 
-    # vmap INSIDE shard_map: each shard runs all seeds over its env slice; the
-    # gradient pmean over the mesh axis applies per seed under the vmap.
+    # vmap INSIDE shard_map: each shard runs its LOCAL seeds over its env
+    # slice; the gradient pmean over the mesh axis applies per seed under the
+    # vmap. The specs are the stock per-seed layout lifted by one seed axis
+    # (unsharded by default; sharded over a 2-D seed mesh with seed_axis).
     learner = jax.vmap(get_learner_fn(env, apply_fns, update_fns, config))
 
-    state_specs = LearnerState(
-        params=P(),  # (S, ...) replicated across devices
-        opt_states=P(),
-        key=P(None, DATA_AXIS),  # (S, n_devices, 2)
-        env_state=P(None, DATA_AXIS),  # (S, n_devices*num_envs, ...)
-        timestep=P(None, DATA_AXIS),
+    state_specs = lift_specs(
+        LearnerState(
+            params=P(),  # (S, ...) replicated across the data axis
+            opt_states=P(),
+            key=P(DATA_AXIS),  # (S, n_devices, 2)
+            env_state=P(DATA_AXIS),  # (S, n_devices*num_envs, ...)
+            timestep=P(DATA_AXIS),
+        ),
+        seed_axis,
     )
     out_specs = ExperimentOutput(
         learner_state=state_specs,
-        episode_metrics=P(None, None, None, DATA_AXIS),  # (S, U, T, E)
-        train_metrics=P(),
+        episode_metrics=lift_specs(P(None, None, DATA_AXIS), seed_axis),  # (S,U,T,E)
+        train_metrics=lift_specs(P(), seed_axis),
     )
     learn = build_learner(
         learner,
@@ -194,8 +216,9 @@ def learner_setup(
         lambda x: x.reshape((num_seeds, total_envs) + x.shape[1:]),
         (env_states, timesteps),
     )
-    env_states = _put(env_states, mesh, P(None, DATA_AXIS))
-    timesteps = _put(timesteps, mesh, P(None, DATA_AXIS))
+    env_seed_spec = lift_specs(P(DATA_AXIS), seed_axis)
+    env_states = _put(env_states, mesh, env_seed_spec)
+    timesteps = _put(timesteps, mesh, env_seed_spec)
 
     key, step_key = jax.random.split(key)
     if sweep_lrs is None:
@@ -207,9 +230,9 @@ def learner_setup(
             jax.random.split(step_key, n_devices)[None], (num_seeds, 1, 1)
         )
 
-    params = _put(params, mesh, P())
-    opt_states = _put(opt_states, mesh, P())
-    step_keys = _put(step_keys, mesh, P(None, DATA_AXIS))
+    params = _put(params, mesh, lift_specs(P(), seed_axis))
+    opt_states = _put(opt_states, mesh, lift_specs(P(), seed_axis))
+    step_keys = _put(step_keys, mesh, env_seed_spec)
 
     init_state = LearnerState(params, opt_states, step_keys, env_states, timesteps)
     return learn, actor_network, init_state
@@ -220,13 +243,14 @@ def run_experiment(
 ) -> float:
     config = copy.deepcopy(_config)
 
-    mesh = make_mesh()
-    n_devices = num_learner_devices(mesh)
-    config.arch.n_devices = n_devices
     if sweep_lrs is not None:
         num_seeds = len(sweep_lrs)
     else:
         num_seeds = int(config.system.get("num_seeds", 4))
+    mesh, seed_axis = make_seed_mesh(config, num_seeds)
+    # Per-seed data-shard count (whole mesh unless the seed axis is sharded).
+    n_devices = mesh.shape[DATA_AXIS]
+    config.arch.n_devices = n_devices
 
     env, eval_env = environments.make(config, add_global_state=centralised_critic)
     key, key_e = jax.random.split(jax.random.PRNGKey(config.system.seed))
@@ -236,11 +260,15 @@ def run_experiment(
     config = check_total_timesteps(config)
 
     learn, actor_network, learner_state = learner_setup(
-        env, key, config, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs
+        env, key, config, mesh, num_seeds, centralised_critic,
+        sweep_lrs=sweep_lrs, seed_axis=seed_axis,
     )
 
     eval_act_fn = make_ff_eval_act_fn(actor_network.apply, config)
-    evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
+    eval_mesh, eval_cfg = make_eval_setup(config, mesh, seed_axis)
+    evaluator = get_eval_fn(
+        eval_env, eval_act_fn, eval_cfg, eval_mesh, absolute_metric=False
+    )
 
     config.system.num_updates_per_eval = (
         config.system.num_updates // config.arch.num_evaluation

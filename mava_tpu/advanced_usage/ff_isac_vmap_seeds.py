@@ -87,6 +87,24 @@ def make_seed_mesh(cfg: Config, num_seeds: int):
     return make_seed_sharded_mesh(seed_shards), SEED_AXIS
 
 
+def make_eval_setup(cfg: Config, mesh, seed_axis: Any):
+    """Resolve the (mesh, config) the EVALUATOR runs with.
+
+    Eval always rides a 1-D data mesh over ALL devices (params replicated);
+    the 2-D seed mesh is a training-placement concern only. In seed-sharded
+    mode `cfg.arch.n_devices` holds the PER-SEED data-shard count (n/K), so
+    the evaluator gets a copy with the eval mesh's FULL device count —
+    otherwise `get_num_eval_envs` sizes per-device env batches for n/K
+    devices while the eval shard_map spans n, running up to K x the
+    configured episodes (and warning about divisibility on every eval)."""
+    if seed_axis is None:
+        return mesh, cfg
+    eval_mesh = make_mesh()
+    eval_cfg = copy.deepcopy(cfg)
+    eval_cfg.arch.n_devices = len(eval_mesh.devices.reshape(-1))
+    return eval_mesh, eval_cfg
+
+
 def stack_states(states: list) -> Any:
     """Host-side stack of per-seed learner states on a new leading axis."""
     return jax.tree.map(lambda *xs: np.stack(xs), *states)
@@ -201,10 +219,10 @@ def run_experiment(
     logger = MavaLogger(cfg)
     actor, _ = networks
     eval_act_fn = make_ff_eval_act_fn(actor.apply, cfg)
-    # Eval always rides a 1-D data mesh over ALL devices (params replicated);
-    # the 2-D seed mesh is a training-placement concern only.
-    eval_mesh = mesh if seed_axis is None else make_mesh()
-    evaluator = get_eval_fn(eval_env, eval_act_fn, cfg, eval_mesh, absolute_metric=False)
+    eval_mesh, eval_cfg = make_eval_setup(cfg, mesh, seed_axis)
+    evaluator = get_eval_fn(
+        eval_env, eval_act_fn, eval_cfg, eval_mesh, absolute_metric=False
+    )
     key = jax.random.PRNGKey(cfg.system.seed)
 
     start_time = time.time()

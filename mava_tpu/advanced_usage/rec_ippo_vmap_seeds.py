@@ -10,6 +10,9 @@ compiled program instead of N sequential runs.
 Usage:
     python -m mava_tpu.advanced_usage.rec_ippo_vmap_seeds \
         env=smax env/scenario=3s5z arch.num_envs=64 +system.num_seeds=3
+    # Seed-sharded over a 2-D (seed, data) mesh on a multi-chip slice:
+    python -m mava_tpu.advanced_usage.rec_ippo_vmap_seeds \
+        env=smax env/scenario=3s5z +system.num_seeds=8 +system.seed_shards=8
 """
 
 from __future__ import annotations
@@ -24,6 +27,11 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from mava_tpu import envs as environments
+from mava_tpu.advanced_usage.ff_isac_vmap_seeds import (
+    lift_specs,
+    make_eval_setup,
+    make_seed_mesh,
+)
 from mava_tpu.envs.wrappers import get_final_step_metrics
 from mava_tpu.evaluator import get_eval_fn, get_num_eval_envs, make_rec_eval_act_fn
 from mava_tpu.networks import RecurrentActor as Actor
@@ -33,8 +41,6 @@ from mava_tpu.networks.factory import make_action_head, make_torso
 from mava_tpu.parallel import (
     DATA_AXIS,
     build_learner,
-    make_mesh,
-    num_learner_devices,
 )
 from mava_tpu.envs.stagger import reject_stagger
 from mava_tpu.systems.ppo.rec_ippo import get_learner_fn
@@ -69,10 +75,13 @@ def learner_setup(
     num_seeds: int,
     centralised_critic: bool = False,
     sweep_lrs=None,
+    seed_axis=None,
 ) -> Tuple[Any, Any, RNNLearnerState]:
     """Stock rec-IPPO learner with a leading batch axis over seeds — or, with
     `sweep_lrs`, over LEARNING RATES (shared init/env seeds, swept optimizer;
-    see ff_ippo_vmap_seeds.learner_setup for the mechanism)."""
+    see ff_ippo_vmap_seeds.learner_setup for the mechanism). With
+    `seed_axis=SEED_AXIS`, `mesh` is a 2-D `(seed, data)` mesh and the seed
+    axis is SHARDED over it (see ff_ippo_vmap_seeds.learner_setup)."""
     reject_stagger(config, "rec-IPPO vmap-seeds/sweep/PBT")
     # Honor network.gru_impl exactly like the stock recurrent setups do:
     # resolve against the mesh platform and thread the concrete impl through
@@ -84,7 +93,8 @@ def learner_setup(
         platform=mesh.devices.flat[0].platform,
     )
 
-    n_devices = num_learner_devices(mesh)
+    # Per-seed data-shard count (whole mesh unless the seed axis is sharded).
+    n_devices = mesh.shape[DATA_AXIS]
     num_agents = env.num_agents
     config.system.num_agents = num_agents
 
@@ -164,19 +174,22 @@ def learner_setup(
 
     learner = jax.vmap(get_learner_fn(env, apply_fns, update_fns, config))
 
-    state_specs = RNNLearnerState(
-        params=P(),
-        opt_states=P(),
-        key=P(None, DATA_AXIS),
-        env_state=P(None, DATA_AXIS),
-        timestep=P(None, DATA_AXIS),
-        dones=P(None, DATA_AXIS),
-        hstates=P(None, DATA_AXIS),
+    state_specs = lift_specs(
+        RNNLearnerState(
+            params=P(),
+            opt_states=P(),
+            key=P(DATA_AXIS),
+            env_state=P(DATA_AXIS),
+            timestep=P(DATA_AXIS),
+            dones=P(DATA_AXIS),
+            hstates=P(DATA_AXIS),
+        ),
+        seed_axis,
     )
     out_specs = ExperimentOutput(
         learner_state=state_specs,
-        episode_metrics=P(None, None, None, DATA_AXIS),
-        train_metrics=P(),
+        episode_metrics=lift_specs(P(None, None, DATA_AXIS), seed_axis),
+        train_metrics=lift_specs(P(), seed_axis),
     )
     learn = build_learner(
         learner,
@@ -197,8 +210,9 @@ def learner_setup(
         lambda x: x.reshape((num_seeds, total_envs) + x.shape[1:]),
         (env_states, timesteps),
     )
-    env_states = _put(env_states, mesh, P(None, DATA_AXIS))
-    timesteps = _put(timesteps, mesh, P(None, DATA_AXIS))
+    env_seed_spec = lift_specs(P(DATA_AXIS), seed_axis)
+    env_states = _put(env_states, mesh, env_seed_spec)
+    timesteps = _put(timesteps, mesh, env_seed_spec)
 
     dones = jnp.zeros((num_seeds, total_envs, num_agents), dtype=bool)
     hstates = HiddenStates(
@@ -221,13 +235,13 @@ def learner_setup(
         )
 
     init_state = RNNLearnerState(
-        params=_put(params, mesh, P()),
-        opt_states=_put(opt_states, mesh, P()),
-        key=_put(step_keys, mesh, P(None, DATA_AXIS)),
+        params=_put(params, mesh, lift_specs(P(), seed_axis)),
+        opt_states=_put(opt_states, mesh, lift_specs(P(), seed_axis)),
+        key=_put(step_keys, mesh, env_seed_spec),
         env_state=env_states,
         timestep=timesteps,
-        dones=_put(dones, mesh, P(None, DATA_AXIS)),
-        hstates=_put(hstates, mesh, P(None, DATA_AXIS)),
+        dones=_put(dones, mesh, env_seed_spec),
+        hstates=_put(hstates, mesh, env_seed_spec),
     )
     return learn, actor_network, init_state
 
@@ -237,13 +251,14 @@ def run_experiment(
 ) -> float:
     config = copy.deepcopy(_config)
 
-    mesh = make_mesh()
-    n_devices = num_learner_devices(mesh)
-    config.arch.n_devices = n_devices
     if sweep_lrs is not None:
         num_seeds = len(sweep_lrs)
     else:
         num_seeds = int(config.system.get("num_seeds", 4))
+    mesh, seed_axis = make_seed_mesh(config, num_seeds)
+    # Per-seed data-shard count (whole mesh unless the seed axis is sharded).
+    n_devices = mesh.shape[DATA_AXIS]
+    config.arch.n_devices = n_devices
 
     if config.system.get("recurrent_chunk_size") is None:
         config.system.recurrent_chunk_size = config.system.rollout_length
@@ -256,11 +271,15 @@ def run_experiment(
     config = check_total_timesteps(config)
 
     learn, actor_network, learner_state = learner_setup(
-        env, key, config, mesh, num_seeds, centralised_critic, sweep_lrs=sweep_lrs
+        env, key, config, mesh, num_seeds, centralised_critic,
+        sweep_lrs=sweep_lrs, seed_axis=seed_axis,
     )
 
     eval_act_fn = make_rec_eval_act_fn(actor_network.apply, config)
-    evaluator = get_eval_fn(eval_env, eval_act_fn, config, mesh, absolute_metric=False)
+    eval_mesh, eval_cfg = make_eval_setup(config, mesh, seed_axis)
+    evaluator = get_eval_fn(
+        eval_env, eval_act_fn, eval_cfg, eval_mesh, absolute_metric=False
+    )
 
     config.system.num_updates_per_eval = (
         config.system.num_updates // config.arch.num_evaluation
@@ -274,7 +293,7 @@ def run_experiment(
 
     logger = MavaLogger(config)
 
-    eval_batch_size = get_num_eval_envs(config, absolute_metric=False)
+    eval_batch_size = get_num_eval_envs(eval_cfg, absolute_metric=False)
     eval_hs = ScannedRNN.initialize_carry(
         (eval_batch_size, config.system.num_agents),
         config.network.hidden_state_dim,

@@ -37,6 +37,7 @@ from jax.sharding import PartitionSpec as P
 
 from mava_tpu.advanced_usage.ff_isac_vmap_seeds import (
     lift_specs,
+    make_eval_setup,
     make_seed_mesh,
     place_state,
     stack_states,
@@ -140,10 +141,13 @@ def run_experiment(cfg: Config, sweep_lrs=None) -> float:
         return action, {"hidden_state": next_hidden_state}
 
     # Eval rides a 1-D data mesh over ALL devices (params replicated); the 2-D
-    # seed mesh is a training-placement concern only.
-    eval_mesh = mesh if seed_axis is None else make_mesh()
-    evaluator = get_eval_fn(eval_env, eval_act_fn, cfg, eval_mesh, absolute_metric=False)
-    eval_batch_size = get_num_eval_envs(cfg, absolute_metric=False)
+    # seed mesh is a training-placement concern only — the eval cfg carries the
+    # eval mesh's full device count (see make_eval_setup).
+    eval_mesh, eval_cfg = make_eval_setup(cfg, mesh, seed_axis)
+    evaluator = get_eval_fn(
+        eval_env, eval_act_fn, eval_cfg, eval_mesh, absolute_metric=False
+    )
+    eval_batch_size = get_num_eval_envs(eval_cfg, absolute_metric=False)
 
     seed_returns = jnp.zeros(num_seeds)
     for eval_idx, t in enumerate(

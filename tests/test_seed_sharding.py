@@ -137,8 +137,144 @@ def test_isac_seed_sharded_matches_unsharded_vmap():
         cfg_un, mesh_un, NUM_SEEDS
     )
 
+    # Memory claim (mirrors the rec-IQL test; ADVICE r3): each device holds
+    # only its LOCAL seed's replay buffer rows.
+    exp_leaf = jax.tree.leaves(state_sh.buffer_state.experience)[0]
+    local_seed_dims = {s.data.shape[0] for s in exp_leaf.addressable_shards}
+    assert local_seed_dims == {NUM_SEEDS // 2}, (
+        f"seed axis not sharded: per-device leading dims {local_seed_dims}"
+    )
+
     mid_sh, _ = explore_sh(state_sh)
-    out_sh, _ = update_sh(mid_sh)
+    out_sh, (_, losses_sh) = update_sh(mid_sh)
     mid_un, _ = explore_un(state_un)
     out_un, _ = update_un(mid_un)
     _assert_tree_close(jax.device_get(out_sh), jax.device_get(out_un))
+
+    # Independence: per-seed losses differ -> the pmean stayed within one seed
+    # group (a pmean over the seed axis would equalise them).
+    q_loss = np.asarray(jax.device_get(losses_sh["loss"]))
+    assert not np.allclose(q_loss[0], q_loss[1]), "seed losses identical: pmean leaked"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_ff_ippo_seed_sharded_matches_unsharded_vmap():
+    """PPO-family seed sharding (r4, API-uniform with the replay families):
+    the 2-D (seed, data) mesh placement is distribution-preserving vs the
+    unsharded vmap program over the same per-seed data-shard count."""
+    from mava_tpu import envs as environments
+    from mava_tpu.advanced_usage import ff_ippo_vmap_seeds as vs
+
+    def tiny_cfg():
+        cfg = load_config(
+            "default_ff_ippo",
+            [
+                "env.kwargs.time_limit=8",
+                "arch.num_envs=2",
+                "system.rollout_length=4",
+                "+system.ppo_epochs=1",
+                "+system.num_minibatches=2",
+                "logger.use_console=False",
+            ],
+        )
+        cfg.system.num_updates = 2
+        cfg.system.num_updates_per_eval = 2
+        return cfg
+
+    cfg_sh = tiny_cfg()
+    cfg_sh.arch.n_devices = 4
+    env_sh, _ = environments.make(cfg_sh)
+    mesh_sh = make_seed_sharded_mesh(NUM_SEEDS)
+    learn_sh, _, state_sh = vs.learner_setup(
+        env_sh, jax.random.PRNGKey(7), cfg_sh, mesh_sh, NUM_SEEDS,
+        seed_axis=SEED_AXIS,
+    )
+    # Each device holds only its LOCAL seed's params/envs.
+    param_leaf = jax.tree.leaves(state_sh.params)[0]
+    local_dims = {s.data.shape[0] for s in param_leaf.addressable_shards}
+    assert local_dims == {NUM_SEEDS // 2}, local_dims
+
+    out_sh = learn_sh(state_sh)
+
+    cfg_un = tiny_cfg()
+    cfg_un.arch.n_devices = 4
+    env_un, _ = environments.make(cfg_un)
+    mesh_un = make_mesh(jax.devices()[:4])
+    learn_un, _, state_un = vs.learner_setup(
+        env_un, jax.random.PRNGKey(7), cfg_un, mesh_un, NUM_SEEDS
+    )
+    _assert_tree_close(jax.device_get(state_sh), jax.device_get(state_un))
+    out_un = learn_un(state_un)
+
+    _assert_tree_close(
+        jax.device_get((out_sh.learner_state, out_sh.train_metrics)),
+        jax.device_get((out_un.learner_state, out_un.train_metrics)),
+    )
+    # Independence across the sharded seed axis.
+    loss = np.asarray(jax.device_get(out_sh.train_metrics["total_loss"]))
+    assert not np.allclose(loss[0], loss[1]), "seed losses identical: pmean leaked"
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_rec_iql_seed_sharded_run_experiment_with_eval():
+    """The FULL seed-sharded entry point (ADVICE r3 medium): run_experiment
+    with +system.seed_shards=2 through training AND two eval cycles — the
+    handoff from the 2-D (seed, data) training mesh into the fresh 1-D
+    all-device eval mesh (per-seed params gather, hidden-state resharding,
+    seed-sharded loss logging)."""
+    from mava_tpu.advanced_usage import rec_iql_vmap_seeds as vs
+
+    cfg = load_config(
+        "default_rec_iql",
+        [
+            "env=smax",
+            "env/scenario=2s3z",
+            "arch.num_envs=2",
+            "system.rollout_length=4",
+            "system.buffer_size=16",
+            "system.sample_batch_size=2",
+            "system.sample_sequence_length=8",
+            "system.epochs=1",
+            "system.min_buffer_size=2",
+            "system.num_updates=4",
+            "arch.num_evaluation=2",
+            "arch.num_eval_episodes=8",
+            "arch.absolute_metric=False",
+            "logger.use_console=False",
+            "+system.num_seeds=2",
+            "+system.seed_shards=2",
+        ],
+    )
+    perf = vs.run_experiment(cfg)
+    assert isinstance(perf, float) and np.isfinite(perf)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_isac_sweep_sharded_run_experiment_with_eval():
+    """Sweep-SHARDED lr entries (VERDICT r3 #2): the replay-family vmap-sweep
+    path hits the same per-entry buffer HBM scaling as vmap-seeds; the 2-D
+    mesh divides it identically. Full run_experiment with sweep_lrs +
+    seed_shards=2 through explore, train and eval cycles."""
+    from mava_tpu.advanced_usage import ff_isac_vmap_seeds as vs
+
+    cfg = load_config(
+        "default_ff_isac",
+        [
+            "env=maswarm",
+            "env.kwargs.time_limit=8",
+            "arch.num_envs=2",
+            "system.rollout_length=2",
+            "system.explore_steps=8",
+            "system.buffer_size=32",
+            "system.batch_size=4",
+            "system.epochs=2",
+            "system.num_updates=4",
+            "arch.num_evaluation=2",
+            "arch.num_eval_episodes=8",
+            "arch.absolute_metric=False",
+            "logger.use_console=False",
+            "+system.seed_shards=2",
+        ],
+    )
+    perf = vs.run_experiment(cfg, sweep_lrs=[1e-4, 3e-4])
+    assert isinstance(perf, float) and np.isfinite(perf)
