@@ -52,6 +52,7 @@ from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.jax_utils import select_along_last, switch_leading_axes
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
+from mava_tpu.utils.training import warn_q_divergence
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
 from mava_tpu.envs.stagger import reject_stagger
@@ -540,6 +541,13 @@ def run_experiment(cfg: Config) -> float:
 
         if ep_completed:
             logger.log(final_metrics, t, eval_idx, LogEvent.ACT)
+        # Q-divergence guardrail (same failure mode as SAC, BASELINE.md j200):
+        # host-side check on the already-logged mean-Q magnitudes.
+        warn_q_divergence(
+            losses,
+            float(cfg.system.get("q_divergence_warn_bound", 1e3)),
+            cfg.logger.system_name,
+        )
         logger.log(losses, t, eval_idx, LogEvent.TRAIN)
 
         key, eval_key = jax.random.split(key)

@@ -60,6 +60,7 @@ from mava_tpu.utils.checkpointing import Checkpointer
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
+from mava_tpu.utils.training import warn_q_divergence
 from mava_tpu.utils.timestep_checker import check_total_timesteps
 from mava_tpu.envs.wrappers import get_final_step_metrics
 from mava_tpu.envs.stagger import reject_stagger
@@ -632,6 +633,13 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
         final_metrics, ep_completed = get_final_step_metrics(metrics)
         final_metrics["steps_per_second"] = steps_per_rollout / elapsed_time
         loss_metrics = {**losses, "log_alpha": learner_state.params.log_alpha}
+        # Q-divergence guardrail (BASELINE.md j200 failure mode): warn from the
+        # already-logged mean-Q magnitudes, host-side, zero device cost.
+        warn_q_divergence(
+            losses,
+            float(cfg.system.get("q_divergence_warn_bound", 1e3)),
+            cfg.logger.system_name,
+        )
 
         if ep_completed:
             logger.log(final_metrics, t, eval_idx, LogEvent.ACT)

@@ -162,3 +162,48 @@ def make_swept_adam(
         return set_peak_lr(opt.init(params), lr)
 
     return optax.GradientTransformation(init_fn, opt.update)
+
+
+# Loss-info keys that carry mean Q-value estimates across the off-policy
+# systems (SAC: q{1,2}_a_vals, rec-IQL: mean_q / mean_target).
+_Q_MAGNITUDE_KEYS = ("q1_a_vals", "q2_a_vals", "mean_q", "mean_target")
+
+
+def warn_q_divergence(
+    loss_info: dict, bound: float, system_name: str = "off-policy system"
+) -> bool:
+    """Host-side guardrail for the off-policy Q-divergence failure mode.
+
+    SAC/MASAC (and any bootstrapped Q-learner) can diverge silently when the
+    reward scale and update density interact badly: the measured case is
+    ff-MASAC on MaSwarm at epochs=32, where Q estimates run away to +10k while
+    training "succeeds" (BASELINE.md parity notes; fixed with
+    system.reward_scale=0.1 — queue row j200). This checks the already-logged
+    mean-Q magnitudes against `bound` (config: system.q_divergence_warn_bound)
+    and emits an actionable runtime warning instead of leaving the failure to
+    be discovered in a return plot. Returns True iff the warning fired.
+
+    Zero device cost: operates on host-side loss metrics after the step.
+    """
+    import warnings
+
+    import numpy as np
+
+    worst_key, worst = None, 0.0
+    for key in _Q_MAGNITUDE_KEYS:
+        if key in loss_info:
+            mag = float(np.max(np.abs(np.asarray(jax.device_get(loss_info[key])))))
+            if mag > worst:
+                worst_key, worst = key, mag
+    if worst_key is not None and worst > bound:
+        warnings.warn(
+            f"{system_name}: |{worst_key}| reached {worst:.3g} "
+            f"(> system.q_divergence_warn_bound={bound:g}) — the Q estimates "
+            "are likely diverging. Known fix for reward-dense tasks "
+            "(e.g. MaSwarm at high epochs): lower system.reward_scale "
+            "(0.1 validated on hardware, BASELINE.md j200) or reduce "
+            "system.epochs.",
+            stacklevel=2,
+        )
+        return True
+    return False
