@@ -1,7 +1,7 @@
 # Convenience targets (the reference ships a Makefile for docker workflows; here the
 # targets map to the local dev loop).
 
-.PHONY: test test-fast bench bench-suite train-smax
+.PHONY: test test-fast test-multiproc bench bench-suite train-smax
 
 # Two pytest processes: the system-integration matrix runs in a FRESH
 # interpreter. One ~40-min process compiling hundreds of XLA programs can
@@ -14,6 +14,14 @@ test:
 
 test-fast:
 	python -m pytest tests/ -x -q -k "not integration"
+
+# Executed 2-process jax.distributed evidence: full loop (train + eval +
+# logger gating + orbax multi-host checkpoint save/restore/continue) vs a
+# single-process control. Not part of `make test` (spawns 3 jax processes —
+# expensive on a one-core box and must not overlap other compiles); every
+# round's hardware queue runs it once (scripts/tpu_queue/r4).
+test-multiproc:
+	RUN_MULTIPROC_SMOKE=1 python -m pytest tests/test_multiproc_smoke.py -x -q -s
 
 bench:
 	python bench.py

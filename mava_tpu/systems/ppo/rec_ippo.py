@@ -54,7 +54,7 @@ from mava_tpu.systems.ppo.types import (
     RNNPPOTransition,
 )
 from mava_tpu.types import ExperimentOutput, LearnerFn, MarlEnv
-from mava_tpu.utils.checkpointing import Checkpointer
+from mava_tpu.utils.checkpointing import Checkpointer, multihost_safe_state
 from mava_tpu.utils.jax_utils import pack_pytree_rows
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
@@ -546,7 +546,7 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
             model_name=config.logger.system_name,
             **config.logger.checkpointing.load_args,
         )
-        template = jax.device_get(learner_state)
+        template = multihost_safe_state(learner_state)
         restored = loader.restore_full_state(template)
         start_t = int(loader._manager.latest_step())
         learner_state = jax.tree.map(
@@ -616,8 +616,8 @@ def run_experiment(_config: Config, centralised_critic: bool = False) -> float:
         if save_checkpoint:
             checkpointer.save(
                 timestep=t,
-                unreplicated_learner_state=jax.tree.map(
-                    lambda x: jax.device_get(x), learner_output.learner_state
+                unreplicated_learner_state=multihost_safe_state(
+                    learner_output.learner_state
                 ),
                 episode_return=episode_return,
                 full_state=config.logger.checkpointing.get("save_full_state", False),

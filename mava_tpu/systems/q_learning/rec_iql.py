@@ -47,7 +47,7 @@ from mava_tpu.systems.q_learning.types import (
     TrainState,
     Transition,
 )
-from mava_tpu.utils.checkpointing import Checkpointer
+from mava_tpu.utils.checkpointing import Checkpointer, multihost_safe_state
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.jax_utils import select_along_last, switch_leading_axes
 from mava_tpu.utils.logger import LogEvent, MavaLogger
@@ -471,7 +471,7 @@ def run_experiment(cfg: Config) -> float:
             model_name=cfg.logger.system_name,
             **cfg.logger.checkpointing.load_args,
         )
-        template = jax.device_get(learner_state)
+        template = multihost_safe_state(learner_state)
         restored = loader.restore_full_state(template)
         resumed_t = int(loader._manager.latest_step())
         learner_state = jax.tree.map(
@@ -570,9 +570,7 @@ def run_experiment(cfg: Config) -> float:
         if cfg.logger.checkpointing.save_model:
             checkpointer.save(
                 timestep=t,
-                unreplicated_learner_state=jax.tree.map(
-                    jax.device_get, learner_state
-                ),
+                unreplicated_learner_state=multihost_safe_state(learner_state),
                 episode_return=episode_return,
                 full_state=cfg.logger.checkpointing.get("save_full_state", False),
             )

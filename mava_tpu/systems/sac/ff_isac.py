@@ -56,7 +56,7 @@ from mava_tpu.utils.centralised_training import (
     get_joint_action,
     get_updated_joint_actions,
 )
-from mava_tpu.utils.checkpointing import Checkpointer
+from mava_tpu.utils.checkpointing import Checkpointer, multihost_safe_state
 from mava_tpu.utils.config import Config, load_config
 from mava_tpu.utils.logger import LogEvent, MavaLogger
 from mava_tpu.utils.profiling import PhaseTimer, maybe_trace
@@ -574,7 +574,7 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
             model_name=cfg.logger.system_name,
             **cfg.logger.checkpointing.load_args,
         )
-        template = jax.device_get(learner_state)
+        template = multihost_safe_state(learner_state)
         restored = loader.restore_full_state(template)
         learner_state = jax.tree.map(
             lambda t_, x: jax.device_put(x, t_.sharding), learner_state, restored
@@ -659,9 +659,7 @@ def run_experiment(cfg: Config, centralised_critic: bool = False) -> float:
         if cfg.logger.checkpointing.save_model:
             checkpointer.save(
                 timestep=t,
-                unreplicated_learner_state=jax.tree.map(
-                    jax.device_get, learner_state
-                ),
+                unreplicated_learner_state=multihost_safe_state(learner_state),
                 episode_return=episode_return,
                 full_state=cfg.logger.checkpointing.get("save_full_state", False),
             )

@@ -32,6 +32,22 @@ def _sanitize(obj: Any) -> Any:
     return str(obj)
 
 
+def multihost_safe_state(state: Any) -> Any:
+    """Host handoff for `Checkpointer.save` inputs and restore templates,
+    multi-process safe.
+
+    Single-process: `jax.device_get` (plain host numpy — what orbax
+    StandardSave has always been fed here). Multi-process: pass the GLOBAL
+    `jax.Array`s through unchanged — `device_get` raises on non-addressable
+    shards, while orbax saves and restores global arrays (with their
+    shardings, preserved by `to_shape_dtype_struct`) natively across hosts.
+    Executed 2-process evidence: scripts/multiproc_smoke.py.
+    """
+    if jax.process_count() > 1:
+        return state
+    return jax.tree.map(jax.device_get, state)
+
+
 class Checkpointer:
     """Save/restore learner state pytrees keyed by env step."""
 

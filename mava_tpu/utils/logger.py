@@ -282,6 +282,18 @@ class MavaLogger:
         self.logger: BaseLogger = MultiLogger(loggers)
 
     def log(self, metrics: Dict, t: int, t_eval: int, event: LogEvent) -> None:
+        # Multi-process runs hand metrics over as GLOBAL jax.Arrays whose
+        # shards live on other hosts; numpy reductions on those raise. Gather
+        # them host-side first — log() runs the same program on every process
+        # (the collective is valid), while only process 0 owns backends.
+        # Replicated leaves gather as per-process copies, which leaves every
+        # mean/min/max/winrate unchanged. Executed 2-process evidence:
+        # scripts/multiproc_smoke.py.
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            metrics = multihost_utils.process_allgather(metrics, tiled=True)
+
         if "won_episode" in metrics:
             metrics = self.calc_winrate(metrics, event)
 

@@ -1,17 +1,27 @@
-"""REAL multi-process `jax.distributed` smoke test (VERDICT r2 next-3).
+"""REAL multi-process `jax.distributed` smoke test — the FULL loop.
 
 Round 2 proved the multi-host placement math with monkeypatched process
-counts (`tests/test_distributed.py`); this script executes it for real: two
-OS processes, a localhost coordinator, 4 virtual CPU devices each -> one
-global 8-device mesh, driving a full ff-IPPO train step end-to-end through
-`distributed.initialize()` + `sharded_env_reset` + the shard_mapped learner.
-That exercises `jax.make_array_from_process_local_data` and the cross-process
-collective path (the DCN analogue) with `jax.process_count() == 2`.
+counts (`tests/test_distributed.py`); round 3 executed ONE train step for
+real; round 4 (VERDICT r3 #3) extends the executed surface to the whole run
+loop: two OS processes, a localhost coordinator, 4 virtual CPU devices each
+-> one global 8-device mesh, driving under `jax.process_count() == 2`:
 
-Pass criterion: the replicated train metrics and a param checksum after ONE
-compiled learner call match a single-process 8-device control run of the same
-program (tolerance 1e-5 — cross-process all-reduce ordering may differ from
-the in-process reduction, so bit-exactness is not guaranteed on CPU gloo).
+  * `distributed.initialize()` + `sharded_env_reset` + the shard_mapped
+    ff-IPPO learner (`jax.make_array_from_process_local_data` + the
+    cross-process collective path, the DCN analogue);
+  * `MavaLogger` on BOTH processes (backends on process 0 only, asserted)
+    including a log of the cross-process-sharded EVAL metrics (the
+    process_allgather path in `MavaLogger.log`);
+  * one `get_eval_fn` evaluation over the global mesh;
+  * a `Checkpointer.save(full_state=True)` -> `restore_full_state` ->
+    continue-one-step round trip (the orbax multi-host path, with global
+    jax.Arrays handed over by `multihost_safe_state`).
+
+Pass criterion: train metrics, param checksum, eval return/episode-count and
+the post-restore continuation checksum all match a single-process 8-device
+control run of the same program (tolerance 1e-5 — cross-process all-reduce
+ordering may differ from the in-process reduction, so bit-exactness is not
+guaranteed on CPU gloo).
 
 Usage:
     python scripts/multiproc_smoke.py            # parent: runs control + both workers
@@ -29,6 +39,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# Scratch checkpoint dir shared by the worker processes (same host filesystem,
+# the pod-slice shared-storage analogue); the parent wipes it between runs.
+CKPT_REL_DIR = "results/tmp_multiproc_ckpt"
 
 TINY_OVERRIDES = [
     "env=rware",
@@ -68,9 +81,12 @@ def worker(num_processes: int, process_id: int, port: int) -> None:
     import numpy as np
 
     from mava_tpu import envs as environments
+    from mava_tpu.evaluator import get_eval_fn, make_ff_eval_act_fn
     from mava_tpu.parallel import make_mesh, num_learner_devices
     from mava_tpu.systems.ppo.ff_ippo import learner_setup
+    from mava_tpu.utils.checkpointing import Checkpointer, multihost_safe_state
     from mava_tpu.utils.config import load_config
+    from mava_tpu.utils.logger import LogEvent, MavaLogger
 
     assert len(jax.devices()) == 8, jax.devices()
 
@@ -80,9 +96,9 @@ def worker(num_processes: int, process_id: int, port: int) -> None:
     cfg.system.num_updates = 1
     cfg.system.num_updates_per_eval = 1
 
-    env, _ = environments.make(cfg)
+    env, eval_env = environments.make(cfg)
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
-    learn, _, learner_state = learner_setup(env, tuple(keys), cfg, mesh)
+    learn, actor_network, learner_state = learner_setup(env, tuple(keys), cfg, mesh)
 
     out = learn(learner_state)
     jax.block_until_ready(out)
@@ -91,21 +107,82 @@ def worker(num_processes: int, process_id: int, port: int) -> None:
     def rep(x):
         return np.asarray(x.addressable_data(0))
 
+    def checksum(tree):
+        return float(
+            sum(np.abs(rep(leaf)).sum() for leaf in jax.tree.leaves(tree))
+        )
+
     train_metrics = {
         k: float(np.mean(rep(v))) for k, v in out.train_metrics.items()
     }
-    param_checksum = float(
-        sum(
-            np.abs(rep(leaf)).sum()
-            for leaf in jax.tree.leaves(out.learner_state.params)
+    param_checksum = checksum(out.learner_state.params)
+
+    # ---- logger on BOTH processes: backends exist only on process 0 ----
+    cfg.logger.use_console = True
+    logger = MavaLogger(cfg)
+    n_backends = len(logger.logger.loggers)
+    if jax.process_index() == 0:
+        assert n_backends >= 1, "process 0 must own logging backends"
+    else:
+        assert n_backends == 0, (
+            f"process {jax.process_index()} must be a logging no-op, "
+            f"got {n_backends} backends"
         )
+    logger.log({"param_checksum": param_checksum}, 64, 0, LogEvent.MISC)
+
+    # ---- evaluator over the GLOBAL mesh (params replicated, per-shard envs) ----
+    eval_act_fn = make_ff_eval_act_fn(actor_network.apply, cfg)
+    evaluator = get_eval_fn(eval_env, eval_act_fn, cfg, mesh, absolute_metric=False)
+    eval_metrics = evaluator(
+        out.learner_state.params.actor_params, jax.random.PRNGKey(42), {}
     )
+    # Reductions over cross-process sharded metrics must be COMPUTATIONS
+    # (every process runs them), not host fetches.
+    import jax.numpy as jnp
+
+    eval_return = float(jnp.mean(eval_metrics["episode_return"]))
+    eval_episodes = int(eval_metrics["episode_length"].shape[0])
+    # The logger path over the sharded eval metrics (process_allgather inside
+    # MavaLogger.log; console backend on process 0 only).
+    logger.log(dict(eval_metrics), 64, 0, LogEvent.EVAL)
+
+    # ---- checkpoint: save(full_state) -> restore -> continue one step ----
+    # (the orbax multi-host path: every process participates; global jax.Arrays
+    # are handed over as-is by multihost_safe_state)
+    ckpt = Checkpointer(
+        model_name="multiproc_smoke",
+        rel_dir=CKPT_REL_DIR,
+        checkpoint_uid=f"np{num_processes}",
+    )
+    saved = ckpt.save(
+        timestep=64,
+        unreplicated_learner_state=multihost_safe_state(out.learner_state),
+        episode_return=eval_return,
+        full_state=True,
+    )
+    assert saved, "checkpoint save did not commit"
+    ckpt._manager.wait_until_finished()
+    restored = ckpt.restore_full_state(multihost_safe_state(out.learner_state))
+    ckpt.close()
+    restored_state = jax.tree.map(
+        lambda t, x: jax.device_put(x, t.sharding), out.learner_state, restored
+    )
+    # Restored params must equal the saved ones exactly.
+    assert abs(checksum(restored_state.params) - param_checksum) == 0.0
+
+    out2 = learn(restored_state)
+    jax.block_until_ready(out2)
+    resumed_checksum = checksum(out2.learner_state.params)
+
     result = {
         "process_count": jax.process_count(),
         "process_id": jax.process_index(),
         "n_global_devices": len(jax.devices()),
         "train_metrics": train_metrics,
         "param_checksum": param_checksum,
+        "eval_return": eval_return,
+        "eval_episodes": eval_episodes,
+        "resumed_checksum": resumed_checksum,
     }
     print("SMOKE_RESULT " + json.dumps(result), flush=True)
 
@@ -155,6 +232,10 @@ def main() -> None:
         worker(args.num_processes, args.process_id, args.port)
         return
 
+    import shutil
+
+    shutil.rmtree(os.path.join(REPO, CKPT_REL_DIR), ignore_errors=True)
+
     # Control: ONE process, 8 virtual devices — the same global program.
     print("=== control: single process, 8 devices", flush=True)
     ctrl_proc = spawn(1, 0, args.port, devices=8)
@@ -194,15 +275,21 @@ def main() -> None:
         close = math.isclose(v, mv, rel_tol=1e-5, abs_tol=1e-6)
         print(f"{k}: control={v:.8f} multi={mv:.8f} close={close}", flush=True)
         ok &= close
-    close = math.isclose(
-        control["param_checksum"], multi["param_checksum"], rel_tol=1e-5
-    )
-    print(
-        f"param_checksum: control={control['param_checksum']:.6f} "
-        f"multi={multi['param_checksum']:.6f} close={close}",
-        flush=True,
-    )
-    ok &= close
+    # The full loop surface: params after train, eval through the global-mesh
+    # evaluator, and params after a checkpoint save -> restore -> second step
+    # (the orbax multi-host path) must all reproduce the single-process control.
+    for k, rel in (
+        ("param_checksum", 1e-5),
+        ("eval_return", 1e-5),
+        ("eval_episodes", 0.0),
+        ("resumed_checksum", 1e-5),
+    ):
+        close = math.isclose(control[k], multi[k], rel_tol=rel, abs_tol=1e-6)
+        print(
+            f"{k}: control={control[k]:.6f} multi={multi[k]:.6f} close={close}",
+            flush=True,
+        )
+        ok &= close
 
     print(json.dumps({"multiproc_smoke": "PASS" if ok else "FAIL"}), flush=True)
     sys.exit(0 if ok else 1)
