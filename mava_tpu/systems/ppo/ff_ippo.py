@@ -126,7 +126,15 @@ def get_learner_fn(
         )
         learner_state, (dones, actions, rewards, log_probs, obs_seq, infos) = (
             jax.lax.scan(
-                _env_step, learner_state, sample_noise, config.system.rollout_length
+                _env_step,
+                learner_state,
+                sample_noise,
+                config.system.rollout_length,
+                # Light unroll amortises scan-loop overhead on the
+                # latency-bound rollout chain (math-identical; rec_ippo.py has
+                # shipped unroll=2 since r2). A/B'd on the headline operating
+                # point via scripts/profile_unroll_ab.py (BASELINE r4 j040).
+                unroll=int(config.system.get("rollout_unroll", 1)),
             )
         )
         log_probs = log_prob_from_params(log_probs, actions)
