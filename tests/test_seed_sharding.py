@@ -278,3 +278,31 @@ def test_isac_sweep_sharded_run_experiment_with_eval():
     )
     perf = vs.run_experiment(cfg, sweep_lrs=[1e-4, 3e-4])
     assert isinstance(perf, float) and np.isfinite(perf)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_make_eval_setup_sizes_eval_for_the_full_device_count():
+    """ADVICE r3 low: in seed-sharded mode cfg.arch.n_devices holds the
+    PER-SEED data-shard count (n/K) while eval rides a 1-D mesh over ALL n
+    devices — the evaluator must size its per-device env batches from the
+    EVAL mesh's count or it runs K x the configured episodes (and warns on
+    every eval)."""
+    from mava_tpu.advanced_usage.ff_isac_vmap_seeds import make_eval_setup
+    from mava_tpu.evaluator import get_num_eval_envs
+
+    cfg = _tiny_iql_cfg()
+    cfg.arch.num_envs = 2
+    cfg.arch.num_eval_episodes = 32
+    mesh = make_seed_sharded_mesh(2)
+    cfg.arch.n_devices = mesh.shape["data"]  # 4 — what run_experiment sets
+
+    eval_mesh, eval_cfg = make_eval_setup(cfg, mesh, SEED_AXIS)
+    assert eval_mesh.devices.size == 8
+    assert eval_cfg.arch.n_devices == 8
+    # Episode accounting: 8 devices x per-device envs covers EXACTLY the
+    # configured 32 episodes; sizing from the per-seed count would halve the
+    # assumed device budget and run 2x the configured episodes.
+    per_device = get_num_eval_envs(eval_cfg, absolute_metric=False)
+    assert per_device * eval_cfg.arch.n_devices == 32
+    # The training config is untouched (per-seed count preserved).
+    assert cfg.arch.n_devices == 4
