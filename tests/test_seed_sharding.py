@@ -306,3 +306,23 @@ def test_make_eval_setup_sizes_eval_for_the_full_device_count():
     assert per_device * eval_cfg.arch.n_devices == 32
     # The training config is untouched (per-seed count preserved).
     assert cfg.arch.n_devices == 4
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs the 8-device mesh")
+def test_ff_ippo_seed_sharded_run_experiment_with_eval(fast_config_overrides):
+    """PPO-family seed-sharded entry path end-to-end: run_experiment with
+    +system.seed_shards=2 through training and eval cycles (per-seed params
+    gather off the sharded seed axis into the 1-D eval mesh)."""
+    from mava_tpu.advanced_usage import ff_ippo_vmap_seeds as vs
+
+    cfg = load_config(
+        "default_ff_ippo",
+        fast_config_overrides
+        + [
+            "env.kwargs.time_limit=16",
+            "+system.num_seeds=2",
+            "+system.seed_shards=2",
+        ],
+    )
+    perf = vs.run_experiment(cfg)
+    assert isinstance(perf, float) and np.isfinite(perf)
