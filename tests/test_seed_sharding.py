@@ -299,11 +299,21 @@ def test_make_eval_setup_sizes_eval_for_the_full_device_count():
     eval_mesh, eval_cfg = make_eval_setup(cfg, mesh, SEED_AXIS)
     assert eval_mesh.devices.size == 8
     assert eval_cfg.arch.n_devices == 8
-    # Episode accounting: 8 devices x per-device envs covers EXACTLY the
-    # configured 32 episodes; sizing from the per-seed count would halve the
-    # assumed device budget and run 2x the configured episodes.
+    # Episode accounting (the evaluator's own loop math): per-device envs x
+    # ALL 8 mesh devices x loops covers EXACTLY the configured 32 episodes.
+    # Sizing from the per-seed count (the pre-fix bug) plans loops for a
+    # 4-device budget while the eval shard_map spans 8 — running 2x the
+    # configured episodes and warning about divisibility on every eval.
+    import math
+
     per_device = get_num_eval_envs(eval_cfg, absolute_metric=False)
-    assert per_device * eval_cfg.arch.n_devices == 32
+    parallel = per_device * eval_mesh.devices.size
+    loops = math.ceil(eval_cfg.arch.num_eval_episodes / parallel)
+    assert loops * parallel == 32  # exact, no over-run
+
+    buggy_parallel = get_num_eval_envs(cfg, absolute_metric=False) * 8
+    buggy_loops = math.ceil(cfg.arch.num_eval_episodes / (buggy_parallel // 2))
+    assert buggy_loops * buggy_parallel == 64  # the 2x over-run the fix removes
     # The training config is untouched (per-seed count preserved).
     assert cfg.arch.n_devices == 4
 
