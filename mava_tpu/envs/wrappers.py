@@ -247,6 +247,15 @@ def get_final_step_metrics(
     """Boolean-mask metrics at terminal steps for host-side logging. Not jittable
     (variable length); reference `episode_metrics.py:114-132`."""
     metrics = dict(metrics)
+    # Multi-process runs hand episode metrics over sharded across hosts; the
+    # boolean mask below materialises values host-side (np.nonzero), which
+    # raises on non-addressable shards. Gather first — every process calls
+    # this on the same program, so the collective is valid. Executed
+    # 2-process evidence: scripts/multiproc_smoke.py.
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        metrics = multihost_utils.process_allgather(metrics, tiled=True)
     is_final_ep = metrics.pop("is_terminal_step")
     has_final_ep_step = bool(jnp.any(is_final_ep))
 

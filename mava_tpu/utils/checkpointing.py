@@ -61,9 +61,23 @@ class Checkpointer:
         max_to_keep: Optional[int] = 1,
         keep_period: Optional[int] = None,
     ):
-        checkpoint_str = (
-            checkpoint_uid if checkpoint_uid else datetime.now().strftime("%Y%m%d%H%M%S")
-        )
+        if checkpoint_uid:
+            checkpoint_str = checkpoint_uid
+        else:
+            checkpoint_str = datetime.now().strftime("%Y%m%d%H%M%S")
+            # Multi-process: every process must agree on the checkpoint
+            # directory or orbax's collective save never commits (each process
+            # would build its manager on its own wall-clock timestamp).
+            # Broadcast process 0's token. Executed 2-process evidence:
+            # scripts/multiproc_smoke.py asserts directory agreement.
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                token = np.frombuffer(
+                    checkpoint_str.encode("ascii"), dtype=np.uint8
+                ).copy()
+                token = multihost_utils.broadcast_one_to_all(token)
+                checkpoint_str = bytes(token.tobytes()).decode("ascii")
         directory = os.path.join(os.getcwd(), rel_dir, model_name, checkpoint_str)
 
         options = ocp.CheckpointManagerOptions(

@@ -193,6 +193,10 @@ def warn_q_divergence(
     for key in _Q_MAGNITUDE_KEYS:
         if key in loss_info:
             mag = float(np.max(np.abs(np.asarray(jax.device_get(loss_info[key])))))
+            # NaN is the TERMINAL state of the divergence this guards (inf-inf
+            # in the TD math) — treat it as worse than any finite magnitude.
+            if np.isnan(mag):
+                mag = float("inf")
             if mag > worst:
                 worst_key, worst = key, mag
     if worst_key is not None and worst > bound:

@@ -117,6 +117,18 @@ def worker(num_processes: int, process_id: int, port: int) -> None:
     }
     param_checksum = checksum(out.learner_state.params)
 
+    # ---- episode-metrics masking on cross-process sharded arrays ----
+    # (get_final_step_metrics gathers first in multi-process mode; the boolean
+    # mask would otherwise raise on non-addressable shards)
+    from mava_tpu.envs.wrappers import get_final_step_metrics
+
+    final_metrics, ep_completed = get_final_step_metrics(
+        dict(out.episode_metrics)
+    )
+    episode_count = (
+        int(np.asarray(final_metrics["episode_return"]).size) if ep_completed else 0
+    )
+
     # ---- logger on BOTH processes: backends exist only on process 0 ----
     cfg.logger.use_console = True
     logger = MavaLogger(cfg)
@@ -149,6 +161,13 @@ def worker(num_processes: int, process_id: int, port: int) -> None:
     # ---- checkpoint: save(full_state) -> restore -> continue one step ----
     # (the orbax multi-host path: every process participates; global jax.Arrays
     # are handed over as-is by multihost_safe_state)
+    # Default-uid path first: without an explicit checkpoint_uid every process
+    # must still agree on the directory (process-0 timestamp broadcast in
+    # Checkpointer.__init__) or the orbax collective save never commits.
+    uid_probe = Checkpointer(model_name="uid_sync_check", rel_dir=CKPT_REL_DIR)
+    default_uid = os.path.basename(uid_probe.directory)
+    uid_probe.close()
+
     ckpt = Checkpointer(
         model_name="multiproc_smoke",
         rel_dir=CKPT_REL_DIR,
@@ -180,9 +199,11 @@ def worker(num_processes: int, process_id: int, port: int) -> None:
         "n_global_devices": len(jax.devices()),
         "train_metrics": train_metrics,
         "param_checksum": param_checksum,
+        "episode_count": episode_count,
         "eval_return": eval_return,
         "eval_episodes": eval_episodes,
         "resumed_checksum": resumed_checksum,
+        "default_ckpt_uid": default_uid,
     }
     print("SMOKE_RESULT " + json.dumps(result), flush=True)
 
@@ -262,8 +283,15 @@ def main() -> None:
     assert p0.returncode == 0, f"worker0 failed:\n{out0}"
     assert p1.returncode == 0, f"worker1 failed:\n{out1}"
     multi = parse_result(out0)
+    multi1 = parse_result(out1)
     print(json.dumps(multi), flush=True)
     assert multi["process_count"] == 2, multi
+    # Default-uid checkpoint directories must agree ACROSS processes (the
+    # process-0 timestamp broadcast), or orbax's collective save desyncs.
+    assert multi["default_ckpt_uid"] == multi1["default_ckpt_uid"], (
+        multi["default_ckpt_uid"],
+        multi1["default_ckpt_uid"],
+    )
 
     # Same global program => same losses and params (tolerance: collective
     # reduction order across processes).
@@ -280,6 +308,7 @@ def main() -> None:
     # (the orbax multi-host path) must all reproduce the single-process control.
     for k, rel in (
         ("param_checksum", 1e-5),
+        ("episode_count", 0.0),
         ("eval_return", 1e-5),
         ("eval_episodes", 0.0),
         ("resumed_checksum", 1e-5),

@@ -102,6 +102,11 @@ def test_q_divergence_warning_fires_on_synthetic_divergence():
     with pytest.warns(UserWarning, match="q_divergence_warn_bound"):
         assert warn_q_divergence({"mean_q": jnp.float32(-5e4)}, 1000.0) is True
 
+    # NaN is the TERMINAL state of the divergence (inf-inf in the TD math) —
+    # it must fire, not silently compare False against the bound.
+    with pytest.warns(UserWarning, match="diverging"):
+        assert warn_q_divergence({"mean_q": jnp.float32(float("nan"))}, 1000.0) is True
+
     healthy = {"q1_a_vals": jnp.float32(42.0), "mean_q": jnp.float32(-17.0)}
     with warnings.catch_warnings():
         warnings.simplefilter("error")
