@@ -114,6 +114,13 @@ def run_experiment(config: Config, centralised_critic: bool = False) -> float:
     from mava_tpu.utils.timestep_checker import check_total_timesteps
 
     config = copy.deepcopy(config)
+    if int(config.system.get("seed_shards", 1)) > 1:
+        raise ValueError(
+            "system.seed_shards is not supported by the PBT programs: "
+            "exploit/explore ranks and clones ACROSS the population, which "
+            "needs every member's state on every device. Use the "
+            "*_vmap_seeds / *_vmap_sweep programs for seed sharding."
+        )
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
     config.arch.n_devices = n_devices

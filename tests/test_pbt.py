@@ -165,3 +165,20 @@ def test_ff_pbt_fixed_lr_control(fast_config_overrides):
     )
     perf = ff_ippo_pbt.run_experiment(cfg)
     assert isinstance(perf, float)
+
+
+def test_pbt_rejects_seed_shards():
+    """PBT needs the full population on every device (exploit/explore is a
+    cross-member op) — system.seed_shards must fail loudly, not silently
+    no-op (review r4)."""
+    import pytest
+
+    from mava_tpu.advanced_usage.ff_ippo_pbt import run_experiment
+    from mava_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "default_ff_ippo",
+        ["+system.seed_shards=2", "logger.use_console=False"],
+    )
+    with pytest.raises(ValueError, match="seed_shards is not supported"):
+        run_experiment(cfg)
