@@ -23,6 +23,7 @@ from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
@@ -315,6 +316,7 @@ def run_experiment(
             logger.log(episode_metrics, t, eval_step, LogEvent.ACT)
         logger.log(learner_output.train_metrics, t, eval_step, LogEvent.TRAIN)
 
+        per_seed_win = [None] * num_seeds
         for s in range(num_seeds):
             key_e, eval_key = jax.random.split(key_e)
             params_s = jax.tree.map(
@@ -324,17 +326,23 @@ def run_experiment(
                 params_s, eval_key, {"hidden_state": eval_hs}
             )
             per_seed[s] = float(jnp.mean(eval_metrics["episode_return"]))
+            if "won_episode" in eval_metrics:
+                won = jnp.asarray(eval_metrics["won_episode"])
+                per_seed_win[s] = float(100.0 * won.sum() / won.size)
         seed_returns = jnp.array(per_seed)
-        logger.log(
-            {
-                "episode_return": seed_returns,
-                "seed_return_best": float(seed_returns.max()),
-                "seed_return_worst": float(seed_returns.min()),
-            },
-            t,
-            eval_step,
-            LogEvent.EVAL,
-        )
+        eval_log = {
+            "episode_return": seed_returns,
+            "seed_return_best": float(seed_returns.max()),
+            "seed_return_worst": float(seed_returns.min()),
+        }
+        if per_seed_win[0] is not None:
+            # Mean win rate as the SCALAR the marl-eval JSON schema shares
+            # with the stock systems (SMAX's headline comparison unit);
+            # per-seed values go to stdout + the seed_win_* spread keys.
+            eval_log["win_rate"] = float(np.mean(per_seed_win))
+            eval_log["seed_win_best"] = float(np.max(per_seed_win))
+            eval_log["seed_win_worst"] = float(np.min(per_seed_win))
+        logger.log(eval_log, t, eval_step, LogEvent.EVAL)
         learner_state = learner_output.learner_state
 
     if sweep_lrs is not None:
@@ -346,6 +354,11 @@ def run_experiment(
         print(
             "rec vmap-seeds final eval returns per seed: "
             + ", ".join(f"{r:.2f}" for r in per_seed)
+        )
+    if per_seed_win[0] is not None:
+        print(
+            "rec vmap-seeds final eval win rates per seed: "
+            + ", ".join(f"{w:.1f}%" for w in per_seed_win)
         )
     logger.stop()
     return float(seed_returns.mean())
