@@ -256,7 +256,13 @@ def make_update_fn(
             term_or_trunc,
         )
         final_action_state, metrics = jax.lax.scan(
-            action_step, action_state, None, length=cfg.system.rollout_length
+            action_step,
+            action_state,
+            None,
+            length=cfg.system.rollout_length,
+            # Light unroll on the act chain (10.8% of the fused step, j030);
+            # math-identical, A/B'd with the SAC act scan (j960/j962).
+            unroll=int(cfg.system.get("rollout_unroll", 1)),
         )
 
         train_state = TrainState(

@@ -455,7 +455,14 @@ def make_update_fns(
 
         act_state = (params.actor, obs, env_state, buffer_state, act_key)
         (_, next_obs, env_state, buffer_state, _), metrics = jax.lax.scan(
-            act, act_state, None, length=cfg.system.rollout_length
+            act,
+            act_state,
+            None,
+            length=cfg.system.rollout_length,
+            # SAC is act-bound (BASELINE j260: act dominates at every epochs
+            # setting); light unroll amortises the per-env-step loop overhead
+            # exactly as on the ff-PPO rollout (math-identical; A/B j960).
+            unroll=int(cfg.system.get("rollout_unroll", 1)),
         )
 
         learn_state = (buffer_state, params, opt_states, t, learn_key)
