@@ -82,7 +82,7 @@ def bench_one(name: str) -> None:
     mesh = make_mesh()
     n_devices = num_learner_devices(mesh)
     cfg.arch.n_devices = n_devices
-    cfg.system.num_updates = UPDATES_PER_CALL * (TIMED_CALLS + 1)
+    cfg.system.num_updates = UPDATES_PER_CALL * (TIMED_CALLS + 4)
     cfg.system.num_updates_per_eval = UPDATES_PER_CALL
 
     env, _ = environments.make(
@@ -96,6 +96,11 @@ def bench_one(name: str) -> None:
     )
 
     out = learn(learner_state)
+    # Steady state needs ~3 post-compile warmup calls (allocator/autotune —
+    # the j056 bench.py lesson; the single-warmup loop under-read by up to
+    # ~15-35% depending on config).
+    for _ in range(3):
+        out = learn(out.learner_state)
     jax.block_until_ready(out)
 
     num_envs = cfg.arch.num_envs
