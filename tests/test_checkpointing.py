@@ -220,3 +220,37 @@ def test_exact_state_resume_sac_is_bitwise(workdir):
         jax.tree.leaves(jax.device_get(cont)),
     ):
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+def test_multihost_safe_state_single_process_is_device_get():
+    """Single-process: multihost_safe_state returns plain host numpy (what
+    orbax StandardSave has always been fed here); the multi-process branch
+    (global jax.Arrays passed through) is executed by the 2-process smoke."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mava_tpu.utils.checkpointing import multihost_safe_state
+
+    tree = {"a": jnp.arange(4.0), "b": (jnp.zeros((2, 3)), jnp.int32(7))}
+    host = multihost_safe_state(tree)
+    for leaf in jax.tree.leaves(host):
+        assert isinstance(leaf, np.ndarray) or np.isscalar(leaf), type(leaf)
+    np.testing.assert_array_equal(host["a"], np.arange(4.0))
+
+
+def test_default_checkpoint_uid_is_deterministic_shape():
+    """The default uid is the 14-char %Y%m%d%H%M%S token — the multi-process
+    broadcast encodes/decodes it as fixed-shape ascii bytes, so the format is
+    a wire contract, not a cosmetic choice."""
+    import os
+
+    from mava_tpu.utils.checkpointing import Checkpointer
+
+    ck = Checkpointer(model_name="uid_shape_check", rel_dir="results/tmp_uid_check")
+    uid = os.path.basename(ck.directory)
+    ck.close()
+    assert len(uid) == 14 and uid.isdigit(), uid
+    import shutil
+
+    shutil.rmtree("results/tmp_uid_check", ignore_errors=True)

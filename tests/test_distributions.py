@@ -152,3 +152,26 @@ def test_log_prob_from_params_matches_distribution_log_prob():
     np.testing.assert_allclose(
         np.asarray(fn(t.raw_params(), a)), np.asarray(t.log_prob(a)), rtol=1e-6
     )
+
+
+def test_masked_greedy_matches_eps_greedy_mode():
+    """masked_greedy (the fused double-DQN target path) is exactly
+    MaskedEpsGreedy.mode() — greedy masked argmax."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mava_tpu.distributions import MaskedEpsGreedy, masked_greedy
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (5, 3, 7))
+    mask = jax.random.bernoulli(jax.random.PRNGKey(1), 0.6, (5, 3, 7))
+    # Guarantee at least one legal action everywhere.
+    mask = mask.at[..., 0].set(True)
+    np.testing.assert_array_equal(
+        np.asarray(masked_greedy(q, mask)),
+        np.asarray(MaskedEpsGreedy(q, 0.1, mask).mode()),
+    )
+    # The argmax never lands on an illegal action.
+    greedy = np.asarray(masked_greedy(q, mask))
+    legal = np.take_along_axis(np.asarray(mask), greedy[..., None], axis=-1)
+    assert legal.all()
