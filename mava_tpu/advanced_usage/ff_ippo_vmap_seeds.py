@@ -103,6 +103,15 @@ def learner_setup(
     n_devices = mesh.shape[DATA_AXIS]
     config.system.num_agents = env.num_agents
 
+    # Seed-lifted programs default GAE to the reference's sequential scan: the
+    # TPU fusion pass SIGABRTs on the associative scan's windowed op once it is
+    # lifted by the seed vmap at some env/agent shapes (r4 j104/j105 —
+    # `fusion_util.cc TransformWindow` on f32[3,8,256,4]). Stock programs keep
+    # 'assoc'; override here with +system.gae_impl=assoc if your shape is known
+    # good. The two implementations agree to float-associativity tolerance
+    # (tests/test_gae_impls.py).
+    config.system.gae_impl = config.system.get("gae_impl", "sequential")
+
     actor_torso = make_torso(config.network.actor_network.pre_torso)
     action_head = make_action_head(config.network.action_head, env.action_dim)
     critic_torso = make_torso(config.network.critic_network.pre_torso)
@@ -282,6 +291,7 @@ def run_experiment(
 
     logger = MavaLogger(config)
     seed_returns = jnp.zeros(num_seeds)
+    per_seed = [0.0] * num_seeds  # read after the loop; num_evaluation can be 0
 
     for eval_step in range(config.arch.num_evaluation):
         start_time = time.time()

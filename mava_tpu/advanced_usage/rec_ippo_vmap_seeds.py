@@ -99,6 +99,11 @@ def learner_setup(
     num_agents = env.num_agents
     config.system.num_agents = num_agents
 
+    # Seed-lifted programs default GAE to the seed-vmap-safe sequential scan
+    # (TPU fusion crash on the seed-lifted associative-scan windowed op at some
+    # shapes, r4 j104/j105 — see ops/gae.py and ff_ippo_vmap_seeds.py).
+    config.system.gae_impl = config.system.get("gae_impl", "sequential")
+
     actor_network = Actor(
         pre_torso=make_torso(config.network.actor_network.pre_torso),
         post_torso=make_torso(config.network.actor_network.post_torso),
@@ -300,7 +305,11 @@ def run_experiment(
         config.network.hidden_state_dim,
     )
 
+    # Bound BEFORE the loop: both are read after it, and num_evaluation can
+    # legitimately be 0 (ADVICE r4).
     per_seed = [0.0] * num_seeds
+    per_seed_win = [None] * num_seeds
+    seed_returns = jnp.zeros(num_seeds)
     for eval_step in range(config.arch.num_evaluation):
         start_time = time.time()
         learner_output = learn(learner_state)

@@ -157,6 +157,11 @@ def get_learner_fn(
             last_val,
             config.system.gamma,
             config.system.gae_lambda,
+            # 'assoc' (parallel-prefix, default) or 'sequential' (the
+            # reference's reverse scan) — seed-vmapped programs default to
+            # 'sequential' because the TPU fusion pass crashes on the
+            # seed-lifted windowed op at some shapes (ops/gae.py docstring).
+            impl=config.system.get("gae_impl", "assoc"),
         )
 
         # Pack the whole shuffle payload ONCE into a single wide int32 matrix

@@ -192,6 +192,8 @@ def get_learner_fn(
             last_val,
             config.system.gamma,
             config.system.gae_lambda,
+            # See ops/gae.py: 'sequential' is the seed-vmap-safe reference scan.
+            impl=config.system.get("gae_impl", "assoc"),
         )
 
         # Chunked BPTT: split the rollout into contiguous time chunks, fold the

