@@ -83,6 +83,11 @@ def _make_matrax(config) -> Tuple[Any, Any]:
     from mava_tpu.envs.matrax import Matrax
 
     kwargs = _env_kwargs(config)
+    # Single override surface like the reference (`env.scenario.task_name=
+    # Conflict-41-stateless-v0` selects any of the 160 registered names —
+    # Climbing/Penalty/NoConflict-{0..20}/Conflict-{0..56}/Custom x state);
+    # task_config may still pin its own task_name (Custom-payoff scenarios).
+    kwargs.setdefault("task_name", config.env.scenario.task_name)
     return Matrax(**kwargs), Matrax(**kwargs)
 
 

@@ -7,10 +7,13 @@ games observe the joint action of the previous step. Action mask is all-ones
 (reference `matrax.py:38`).
 
 The matrax package additionally registers the 78 Rapoport 2x2 ordinal games as
-`NoConflict-{0..20}-*-v0` / `Conflict-{0..56}-*-v0`. Their id->matrix catalog
-lives inside that package and cannot be verified offline (package absent, zero
-egress), so fabricating the mapping would be false parity. Instead ANY matrix
-game — every catalog entry included — is expressible directly:
+`NoConflict-{0..20}-*-v0` / `Conflict-{0..56}-*-v0` — those ids resolve here
+through `envs/matrax_catalog.py`, which derives the taxonomy from its
+published definition (21 no-conflict + 57 conflict classes, asserted). The
+catalog's id ORDER is this repo's deterministic lexicographic enumeration (the
+matrax package's internal order isn't reproducible offline); the game set is
+identical, and `matrax_catalog.canonical_id` maps any ordinal 2x2 game to its
+id here. Beyond the catalog, ANY matrix game is expressible directly:
 `Custom-{stateless|stateful}-v0` plus a `payoff` kwarg (per-agent payoff
 matrices, shape (num_agents, rows, cols)), settable from a scenario yaml's
 `task_config.payoff`. See `configs/env/scenario/matrax-pd.yaml` (prisoner's
@@ -50,6 +53,14 @@ def _parse_task(task_name: str, payoff=None) -> Tuple[np.ndarray, bool]:
     if m:
         p = _penalty(float(m.group(1)))
         return np.stack([p, p]), m.group(2) == "stateful"
+    m = re.match(r"(NoConflict|Conflict)-(\d+)-(stateless|stateful)-v0", task_name)
+    if m:
+        from mava_tpu.envs.matrax_catalog import catalog_payoff
+
+        return (
+            catalog_payoff(m.group(1), int(m.group(2))),
+            m.group(3) == "stateful",
+        )
     m = re.match(r"Custom-(stateless|stateful)-v0", task_name)
     if m:
         if payoff is None:
@@ -69,7 +80,8 @@ def _parse_task(task_name: str, payoff=None) -> Tuple[np.ndarray, bool]:
         return arr, m.group(1) == "stateful"
     raise ValueError(
         f"Unknown Matrax task '{task_name}'. Supported: Climbing-*-v0, "
-        "Penalty-k-*-v0, Custom-*-v0 (with a payoff kwarg)."
+        "Penalty-k-*-v0, NoConflict-{0..20}-*-v0, Conflict-{0..56}-*-v0, "
+        "Custom-*-v0 (with a payoff kwarg)."
     )
 
 
