@@ -6,10 +6,12 @@ GAE carries `next_done`, the loss re-runs the RNN from each chunk's stored initi
 hidden state, and minibatches shuffle whole env/chunk sequences (never time steps).
 
 Rebuilt on the mesh runtime (see ff_ippo.py for the SPMD layout). One deliberate
-deviation: chunked-BPTT minibatching uses time-CONTIGUOUS chunks
+deviation: chunked-BPTT minibatching defaults to time-CONTIGUOUS chunks
 ((T,E) -> (chunk, n_chunks*E) via an explicit chunk split + transpose), where the
 reference's single reshape (`rec_ippo.py:348-356`) produces time-strided chunks.
-Both are identical at the default `recurrent_chunk_size = rollout_length`.
+Both are identical at the default `recurrent_chunk_size = rollout_length`; the
+reference-exact layout ships behind `system.chunk_layout=strided` for airtight
+non-default-chunk A/Bs.
 """
 
 from __future__ import annotations
@@ -209,12 +211,30 @@ def get_learner_fn(
         num_chunks = config.system.rollout_length // chunk
         num_sequences = num_chunks * config.arch.num_envs
         batch = (traj_batch, advantages, targets)
-        batch = jax.tree.map(
-            lambda x: x.reshape(num_chunks, chunk, *x.shape[1:])
-            .swapaxes(0, 1)
-            .reshape(chunk, num_chunks * x.shape[1], *x.shape[2:]),
-            batch,
-        )
+        chunk_layout = config.system.get("chunk_layout", "contiguous")
+        if chunk_layout == "contiguous":
+            batch = jax.tree.map(
+                lambda x: x.reshape(num_chunks, chunk, *x.shape[1:])
+                .swapaxes(0, 1)
+                .reshape(chunk, num_chunks * x.shape[1], *x.shape[2:]),
+                batch,
+            )
+        elif chunk_layout == "strided":
+            # Reference-exact layout (`mava/systems/ppo/rec_ippo.py:344-356`):
+            # the bare (T, E) -> (chunk, num_chunks*E) reshape, whose chunk rows
+            # stride through real time with step `num_chunks`. Identical to
+            # contiguous at the default chunk = rollout_length; offered so
+            # non-default-chunk curve A/Bs against reference runs are airtight
+            # (VERDICT r4 next-7; tests/test_chunked_bptt.py).
+            batch = jax.tree.map(
+                lambda x: x.reshape(chunk, num_chunks * x.shape[1], *x.shape[2:]),
+                batch,
+            )
+        else:
+            raise ValueError(
+                f"Unknown chunk_layout '{chunk_layout}' "
+                "(expected 'contiguous' or 'strided')."
+            )
         tb = batch[0]
         batch = (
             tb._replace(

@@ -92,6 +92,90 @@ def test_chunked_grads_exact_when_boundaries_align_with_dones():
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gc), rtol=1e-6, atol=1e-6)
 
 
+def test_strided_layout_is_the_reference_reshape():
+    """`chunk_layout=strided` must produce the reference's exact chunk layout
+    (`mava/systems/ppo/rec_ippo.py:348-356`): the bare (T, E) -> (chunk, nc*E)
+    reshape, where sequence j holds real time steps t = j//E + i*nc."""
+    T_, E, chunk = 8, 3, 4
+    nc = T_ // chunk
+    labels = jnp.arange(T_)[:, None] * 1000 + jnp.arange(E)[None, :]  # t*1000+e
+    strided = labels.reshape(chunk, nc * E)
+    for j in range(nc * E):
+        for i in range(chunk):
+            t, e = i * nc + j // E, j % E
+            assert int(strided[i, j]) == t * 1000 + e
+
+
+def test_chunk_layouts_identical_at_default_chunk():
+    """contiguous and strided are both the identity when chunk=rollout_length:
+    one full rec-IPPO update must produce the same learner state under either
+    (VERDICT r4 next-7 done-condition)."""
+    from mava_tpu import envs as environments
+    from mava_tpu.parallel import make_mesh, num_learner_devices
+    from mava_tpu.systems.ppo import rec_ippo
+    from mava_tpu.utils.config import load_config
+
+    def run(layout):
+        cfg = load_config(
+            "default_rec_ippo",
+            [
+                "env.kwargs.time_limit=8",
+                "arch.num_envs=2",
+                "system.rollout_length=4",
+                "system.num_updates=1",
+                "system.ppo_epochs=1",
+                "system.num_minibatches=2",
+                f"system.chunk_layout={layout}",
+                "logger.use_console=False",
+            ],
+        )
+        mesh = make_mesh()
+        cfg.arch.n_devices = num_learner_devices(mesh)
+        cfg.system.num_updates_per_eval = 1
+        if cfg.system.recurrent_chunk_size is None:
+            cfg.system.recurrent_chunk_size = cfg.system.rollout_length
+        env, _ = environments.make(cfg)
+        keys = jax.random.split(jax.random.PRNGKey(0), 3)
+        learn, _, state = rec_ippo.learner_setup(env, tuple(keys), cfg, mesh)
+        return jax.device_get(learn(state).learner_state)
+
+    out_c = run("contiguous")
+    out_s = run("strided")
+    for c, s in zip(jax.tree.leaves(out_c), jax.tree.leaves(out_s)):
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(s))
+
+
+def test_unknown_chunk_layout_raises():
+    import pytest
+
+    from mava_tpu import envs as environments
+    from mava_tpu.parallel import make_mesh, num_learner_devices
+    from mava_tpu.systems.ppo import rec_ippo
+    from mava_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "default_rec_ippo",
+        [
+            "env.kwargs.time_limit=8",
+            "arch.num_envs=2",
+            "system.rollout_length=4",
+            "system.num_updates=1",
+            "system.chunk_layout=zigzag",
+            "logger.use_console=False",
+        ],
+    )
+    mesh = make_mesh()
+    cfg.arch.n_devices = num_learner_devices(mesh)
+    cfg.system.num_updates_per_eval = 1
+    if cfg.system.recurrent_chunk_size is None:
+        cfg.system.recurrent_chunk_size = cfg.system.rollout_length
+    env, _ = environments.make(cfg)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    learn, _, state = rec_ippo.learner_setup(env, tuple(keys), cfg, mesh)
+    with pytest.raises(ValueError, match="chunk_layout"):
+        learn(state)
+
+
 def test_chunked_grads_truncate_only_cross_boundary_flow():
     """Sanity: at unaligned boundaries the losses still match exactly (forward
     identity) while gradients differ only by the truncated cross-chunk term."""
