@@ -1,7 +1,7 @@
 # Convenience targets (the reference ships a Makefile for docker workflows; here the
 # targets map to the local dev loop).
 
-.PHONY: test test-fast test-multiproc bench bench-suite train-smax
+.PHONY: test test-fast test-multiproc test-learning bench bench-suite train-smax
 
 # Two pytest processes: the system-integration matrix runs in a FRESH
 # interpreter. One ~40-min process compiling hundreds of XLA programs can
@@ -22,6 +22,13 @@ test-fast:
 # round's hardware queue runs it once (scripts/tpu_queue/r4).
 test-multiproc:
 	RUN_MULTIPROC_SMOKE=1 python -m pytest tests/test_multiproc_smoke.py -x -q -s
+
+# Learning-threshold regression gate (opt-in: ~2-5 min of real training on the
+# 8-device CPU mesh; catches semantic regressions — e.g. a flipped GAE sign —
+# that still train and so pass the fast integration matrix). Run once per
+# round by the hardware queue.
+test-learning:
+	RUN_LEARNING_GATE=1 python -m pytest tests/test_learning_gate.py -x -q -s
 
 bench:
 	python bench.py

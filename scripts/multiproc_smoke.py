@@ -51,6 +51,9 @@ TINY_OVERRIDES = [
     "system.rollout_length=4",
     "system.num_updates=1",
     "arch.num_evaluation=1",
+    # NOT a multiple of the 8 global devices: the evaluator's round-up path
+    # must agree across 1/2/4-process layouts (VERDICT r4 next-8).
+    "arch.num_eval_episodes=30",
     "+system.ppo_epochs=1",
     "+system.num_minibatches=2",
     "logger.use_console=False",
@@ -241,60 +244,35 @@ def parse_result(output: str) -> dict:
     raise RuntimeError(f"no SMOKE_RESULT in output:\n{output}")
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--worker", action="store_true")
-    ap.add_argument("--num-processes", type=int, default=2)
-    ap.add_argument("--process-id", type=int, default=0)
-    ap.add_argument("--port", type=int, default=43217)
-    args = ap.parse_args()
-
-    if args.worker:
-        worker(args.num_processes, args.process_id, args.port)
-        return
-
-    import shutil
-
-    shutil.rmtree(os.path.join(REPO, CKPT_REL_DIR), ignore_errors=True)
-
-    # Control: ONE process, 8 virtual devices — the same global program.
-    print("=== control: single process, 8 devices", flush=True)
-    ctrl_proc = spawn(1, 0, args.port, devices=8)
-    ctrl_out, _ = ctrl_proc.communicate(timeout=1800)
-    assert ctrl_proc.returncode == 0, f"control failed:\n{ctrl_out}"
-    control = parse_result(ctrl_out)
-    print(json.dumps(control), flush=True)
-
-    # Two processes x 4 devices. Serialize-averse box note: the two workers
-    # must run CONCURRENTLY (they rendezvous at the coordinator); on a
-    # one-core machine the compile is simply slower.
-    print("=== multiproc: 2 processes x 4 devices", flush=True)
-    p0 = spawn(2, 0, args.port + 1, devices=4)
-    p1 = spawn(2, 1, args.port + 1, devices=4)
-    # Drain both pipes concurrently: a worker blocking on a full stdout pipe
-    # would stall the cross-process collective and hang its peer.
+def run_phase(num_processes: int, port: int) -> dict:
+    """Spawn `num_processes` workers (8 // np devices each), rendezvous them at
+    a localhost coordinator, and return process 0's parsed result after
+    asserting all workers exit 0 and agree on the default checkpoint uid."""
+    devices = 8 // num_processes
+    print(f"=== multiproc: {num_processes} processes x {devices} devices", flush=True)
+    procs = [spawn(num_processes, i, port, devices) for i in range(num_processes)]
+    # Drain all pipes concurrently: a worker blocking on a full stdout pipe
+    # would stall the cross-process collective and hang its peers.
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        f0 = pool.submit(p0.communicate, None, 3600)
-        f1 = pool.submit(p1.communicate, None, 3600)
-        out0, _ = f0.result()
-        out1, _ = f1.result()
-    assert p0.returncode == 0, f"worker0 failed:\n{out0}"
-    assert p1.returncode == 0, f"worker1 failed:\n{out1}"
-    multi = parse_result(out0)
-    multi1 = parse_result(out1)
-    print(json.dumps(multi), flush=True)
-    assert multi["process_count"] == 2, multi
+    with ThreadPoolExecutor(max_workers=num_processes) as pool:
+        futs = [pool.submit(p.communicate, None, 3600) for p in procs]
+        outs = [f.result()[0] for f in futs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker{i}/{num_processes} failed:\n{out}"
+    results = [parse_result(o) for o in outs]
+    print(json.dumps(results[0]), flush=True)
+    assert results[0]["process_count"] == num_processes, results[0]
     # Default-uid checkpoint directories must agree ACROSS processes (the
     # process-0 timestamp broadcast), or orbax's collective save desyncs.
-    assert multi["default_ckpt_uid"] == multi1["default_ckpt_uid"], (
-        multi["default_ckpt_uid"],
-        multi1["default_ckpt_uid"],
-    )
+    uids = {r["default_ckpt_uid"] for r in results}
+    assert len(uids) == 1, f"default checkpoint uid disagrees across processes: {uids}"
+    return results[0]
 
-    # Same global program => same losses and params (tolerance: collective
-    # reduction order across processes).
+
+def compare_to_control(control: dict, multi: dict) -> bool:
+    """Same global program => same losses/params/eval/resume (tolerance:
+    cross-process collective reduction order)."""
     import math
 
     ok = True
@@ -319,6 +297,45 @@ def main() -> None:
             flush=True,
         )
         ok &= close
+    return ok
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worker", action="store_true")
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--port", type=int, default=43217)
+    ap.add_argument(
+        "--phases",
+        default="2,4",
+        help="comma-separated process counts to validate against the control "
+        "(each with 8//np devices per process; VERDICT r4 next-8 adds 4x2, "
+        "covering the put_sharded_rows process-major layout at ranks that "
+        "don't divide the eval-episode request evenly)",
+    )
+    args = ap.parse_args()
+
+    if args.worker:
+        worker(args.num_processes, args.process_id, args.port)
+        return
+
+    import shutil
+
+    shutil.rmtree(os.path.join(REPO, CKPT_REL_DIR), ignore_errors=True)
+
+    # Control: ONE process, 8 virtual devices — the same global program.
+    print("=== control: single process, 8 devices", flush=True)
+    ctrl_proc = spawn(1, 0, args.port, devices=8)
+    ctrl_out, _ = ctrl_proc.communicate(timeout=1800)
+    assert ctrl_proc.returncode == 0, f"control failed:\n{ctrl_out}"
+    control = parse_result(ctrl_out)
+    print(json.dumps(control), flush=True)
+
+    ok = True
+    for i, np_ in enumerate(int(x) for x in args.phases.split(",")):
+        multi = run_phase(np_, args.port + 1 + i)
+        ok &= compare_to_control(control, multi)
 
     print(json.dumps({"multiproc_smoke": "PASS" if ok else "FAIL"}), flush=True)
     sys.exit(0 if ok else 1)

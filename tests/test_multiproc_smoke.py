@@ -1,13 +1,14 @@
-"""Opt-in wrapper for the real 2-process `jax.distributed` smoke run.
+"""Opt-in wrapper for the real multi-process `jax.distributed` smoke run
+(2x4 and 4x2 process/device layouts vs a single-process control).
 
-Skipped by default: it spawns three jax processes (a control and two
-coordinated workers) which is expensive on the one-core CI box and must not
-overlap other compiles (CLAUDE.md). Run with:
+Skipped by default: it spawns up to five concurrent jax processes (a control,
+then 2- and 4-worker phases) which is expensive on the one-core CI box and
+must not overlap other compiles (CLAUDE.md). Run with:
 
     RUN_MULTIPROC_SMOKE=1 python -m pytest tests/test_multiproc_smoke.py -s
 
 The stub-based placement-math tests live in tests/test_distributed.py; this
-is the executed-evidence counterpart (jax.process_count() == 2 for real).
+is the executed-evidence counterpart (jax.process_count() in {2, 4} for real).
 """
 
 import os
