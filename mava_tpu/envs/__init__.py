@@ -85,9 +85,20 @@ def _make_matrax(config) -> Tuple[Any, Any]:
     kwargs = _env_kwargs(config)
     # Single override surface like the reference (`env.scenario.task_name=
     # Conflict-41-stateless-v0` selects any of the 160 registered names —
-    # Climbing/Penalty/NoConflict-{0..20}/Conflict-{0..56}/Custom x state);
-    # task_config may still pin its own task_name (Custom-payoff scenarios).
-    kwargs.setdefault("task_name", config.env.scenario.task_name)
+    # Climbing/Penalty/NoConflict-{0..20}/Conflict-{0..56}/Custom x state).
+    # A scenario's task_config may pin its own task_name (the Custom-payoff
+    # pattern, matrax-pd.yaml keeps both in sync) — but a CLI task_name that
+    # CONTRADICTS the pin must fail loudly: the engine would train the pinned
+    # task while JsonLogger labels the evidence with the CLI name.
+    scenario_task = config.env.scenario.task_name
+    if "task_name" in kwargs and kwargs["task_name"] != scenario_task:
+        raise ValueError(
+            f"Scenario pins task_config.task_name={kwargs['task_name']!r} but "
+            f"env.scenario.task_name={scenario_task!r}. Pick a scenario without "
+            "a task_config pin (e.g. env/scenario=matrax-climbing) to select "
+            "tasks via env.scenario.task_name."
+        )
+    kwargs.setdefault("task_name", scenario_task)
     return Matrax(**kwargs), Matrax(**kwargs)
 
 

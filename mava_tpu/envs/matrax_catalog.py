@@ -21,7 +21,7 @@ id order is not reproducible offline (package absent, zero egress), so a
 specific reference id may map to a different game here; the SET of games is
 identical, and the well-known members land at: Prisoner's Dilemma =
 Conflict-41, Chicken = Conflict-50, Battle of the Sexes = Conflict-42,
-Stag Hunt = NoConflict-19 (pinned in tests/test_envs_semantics.py).
+Stag Hunt = NoConflict-19 (pinned in tests/test_matrax_catalog.py).
 
 Both agents' payoff matrices are indexed [action_0, action_1] (the engine's
 step rule, `envs/matrax.py`): entry [i, j] is that agent's payoff when agent 0
@@ -80,6 +80,11 @@ _NO_CONFLICT, _CONFLICT = _enumerate_games()
 
 def catalog_payoff(family: str, game_id: int) -> np.ndarray:
     """Per-agent payoff matrices, shape (2, 2, 2) float32, for a catalog id."""
+    if family not in ("NoConflict", "Conflict"):
+        raise ValueError(
+            f"Matrax catalog family must be 'NoConflict' or 'Conflict'; "
+            f"got {family!r}."
+        )
     pool = _NO_CONFLICT if family == "NoConflict" else _CONFLICT
     if not 0 <= game_id < len(pool):
         raise ValueError(

@@ -163,17 +163,20 @@ class NeptuneLogger(BaseLogger):
             ) from e
         self._neptune = neptune
         kwargs = cfg.logger.kwargs
+        # Reference key is `neptune_tag` (base_logger.yaml); the plural /
+        # unprefixed aliases are honored too — base_logger.yaml defines the
+        # reference keys with empty/False defaults, so `or` (not dict-get
+        # fallback) is what lets a legacy `+logger.kwargs.neptune_tags=[...]`
+        # override still take effect.
+        tags = kwargs.get("neptune_tag") or kwargs.get("neptune_tags") or []
         self.run = neptune.init_run(
             project=kwargs.get("neptune_project"),
-            # Reference key is `neptune_tag` (base_logger.yaml); accept the
-            # plural alias too.
-            tags=list(kwargs.get("neptune_tag", kwargs.get("neptune_tags", []))),
+            tags=list(tags),
         )
         self.run["config"] = cfg.to_dict() if hasattr(cfg, "to_dict") else dict(cfg)
         self.detailed = bool(
-            kwargs.get(
-                "detailed_neptune_logging", kwargs.get("detailed_logging", False)
-            )
+            kwargs.get("detailed_neptune_logging", False)
+            or kwargs.get("detailed_logging", False)
         )
         # Reference gates the stop-time marl-eval JSON zip-upload on
         # `upload_json_data` (`mava/utils/logger.py:185-193`).
@@ -245,10 +248,14 @@ class JsonLogger(BaseLogger):
                     # truncated/corrupt file (e.g. a crash mid-write before the
                     # r5 atomic-write fix) must never be silently clobbered.
                     # Move it aside and start fresh (VERDICT r4 weak-2).
-                    backup = (
-                        f"{self.file_path}.corrupt-"
-                        f"{datetime.now().strftime('%Y%m%d%H%M%S')}"
-                    )
+                    stamp = datetime.now().strftime("%Y%m%d%H%M%S")
+                    backup = f"{self.file_path}.corrupt-{stamp}-{os.getpid()}"
+                    n = 0
+                    while os.path.exists(backup):  # never clobber a backup
+                        n += 1
+                        backup = (
+                            f"{self.file_path}.corrupt-{stamp}-{os.getpid()}.{n}"
+                        )
                     os.replace(self.file_path, backup)
                     logging.getLogger("mava_tpu").warning(
                         "JsonLogger: existing %s is not valid JSON; moved it to "

@@ -3,4 +3,4 @@
 # process/device layouts vs the single-process control (non-divisible
 # eval-episode request, put_sharded_rows process-major layout at 4 ranks).
 cd /root/repo
-timeout 3000 make test-multiproc
+timeout 7200 make test-multiproc

@@ -1,5 +1,5 @@
 #!/bin/bash
-# Serialized round-4 job runner (one-core box: EVERYTHING heavy goes through
+# Serialized round-5 job runner (one-core box: EVERYTHING heavy goes through
 # this queue — TPU jobs and CPU test batches alike — so no two jax processes
 # ever compile concurrently; see CLAUDE.md).
 #

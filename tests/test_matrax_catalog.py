@@ -76,8 +76,30 @@ def test_catalog_id_bounds_and_validation():
         catalog_payoff("NoConflict", 21)
     with pytest.raises(ValueError, match=r"\[0, 56\]"):
         catalog_payoff("Conflict", 57)
+    with pytest.raises(ValueError, match="family"):
+        catalog_payoff("noconflict", 5)  # typo'd family must not alias Conflict
     with pytest.raises(ValueError, match="ordinal"):
         canonical_id([[1, 1], [2, 2]], [[1, 2], [3, 4]])
+
+
+def test_contradicting_task_name_pin_fails_loudly():
+    """A CLI task_name that contradicts a scenario's task_config pin must raise
+    (the engine would train the pinned task while the JSON evidence is labeled
+    with the CLI name)."""
+    from mava_tpu import envs as environments
+    from mava_tpu.utils.config import load_config
+
+    cfg = load_config(
+        "default_ff_ippo",
+        [
+            "env=matrax",
+            "env/scenario=matrax-pd",  # pins task_config.task_name=Custom-...
+            "env.scenario.task_name=Conflict-41-stateless-v0",
+            "logger.use_console=False",
+        ],
+    )
+    with pytest.raises(ValueError, match="pins task_config.task_name"):
+        environments.make(cfg)
 
 
 def test_reference_matrax_config_ports_verbatim():
