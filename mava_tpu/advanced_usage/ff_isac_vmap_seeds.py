@@ -110,6 +110,39 @@ def stack_states(states: list) -> Any:
     return jax.tree.map(lambda *xs: np.stack(xs), *states)
 
 
+def split_buffer_experience(ls: Any) -> Tuple[Any, Any]:
+    """Strip the replay EXPERIENCE out of a learner state before host transfer.
+
+    The experience is all-zeros at init (`replay/{trajectory,item}_buffer.py`)
+    and can be multiple GB per seed — a `device_get` of that through the TPU
+    tunnel kills the worker RPC (r5 j062), and round-tripping zeros is pure
+    waste anywhere. Returns (state with `experience=()`, a ShapeDtypeStruct
+    template of the removed leaves) — recreate the stacked zeros directly on
+    device with `make_stacked_experience`."""
+    template = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), ls.buffer_state.experience
+    )
+    small = ls._replace(buffer_state=ls.buffer_state.replace(experience=()))
+    return small, template
+
+
+def make_stacked_experience(template: Any, num_seeds: int, exp_specs: Any, mesh):
+    """(num_seeds, ...)-stacked all-zeros experience, created ON DEVICE with
+    its target sharding — no host round trip (see split_buffer_experience)."""
+    shardings = jax.tree.map(
+        lambda p: NamedSharding(mesh, p),
+        exp_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    make = jax.jit(
+        lambda: jax.tree.map(
+            lambda sd: jnp.zeros((num_seeds, *sd.shape), sd.dtype), template
+        ),
+        out_shardings=shardings,
+    )
+    return make()
+
+
 def place_state(state: Any, spec_tree: Any, mesh) -> Any:
     """device_put a stacked state using a (prefix) tree of PartitionSpecs.
 
@@ -158,13 +191,26 @@ def learner_setup(
         envs_, networks, optims, rb, ls, target_entropy, _ = ff_isac.init(
             cfg_s, setup_mesh, centralised_critic, swept_lr=sweep_lrs is not None
         )
+        # Replay experience stays on device (GB-scale zeros; r5 j062): strip it
+        # before the host transfer and recreate the stacked zeros in place.
+        ls, exp_template = split_buffer_experience(ls)
         states.append(jax.device_get(ls))
+        del ls  # free seed s's device arrays before seed s+1 allocates
     # env/networks/optims/rb are structurally identical across seeds; keep the last.
     stacked = stack_states(states)
 
-    stock_specs = ff_isac._state_specs(stacked.buffer_state)
-    seed_specs = lift_specs(stock_specs, seed_axis)
-    learner_state = place_state(stacked, seed_specs, mesh)
+    buffer_template = stacked.buffer_state.replace(experience=exp_template)
+    seed_specs = lift_specs(ff_isac._state_specs(buffer_template), seed_axis)
+    small_specs = seed_specs._replace(
+        buffer_state=seed_specs.buffer_state.replace(experience=())
+    )
+    learner_state = place_state(stacked, small_specs, mesh)
+    experience = make_stacked_experience(
+        exp_template, num_seeds, seed_specs.buffer_state.experience, mesh
+    )
+    learner_state = learner_state._replace(
+        buffer_state=learner_state.buffer_state.replace(experience=experience)
+    )
 
     env, eval_env = envs_
     cfg.system.num_agents = env.num_agents  # init() set it only on seed copies

@@ -39,7 +39,9 @@ from mava_tpu.advanced_usage.ff_isac_vmap_seeds import (
     lift_specs,
     make_eval_setup,
     make_seed_mesh,
+    make_stacked_experience,
     place_state,
+    split_buffer_experience,
     stack_states,
 )
 from mava_tpu.envs.wrappers import get_final_step_metrics
@@ -84,11 +86,25 @@ def learner_setup(
         envs_, q_net, opt, rb, ls, _ = rec_iql.init(
             cfg_s, setup_mesh, swept_lr=sweep_lrs is not None
         )
+        # Replay experience stays on device (GB-scale zeros; r5 j062): strip it
+        # before the host transfer and recreate the stacked zeros in place.
+        ls, exp_template = split_buffer_experience(ls)
         states.append(jax.device_get(ls))
+        del ls  # free seed s's device arrays before seed s+1 allocates
     stacked = stack_states(states)
 
-    seed_specs = lift_specs(_stock_specs(stacked.buffer_state), seed_axis)
-    learner_state = place_state(stacked, seed_specs, mesh)
+    buffer_template = stacked.buffer_state.replace(experience=exp_template)
+    seed_specs = lift_specs(_stock_specs(buffer_template), seed_axis)
+    small_specs = seed_specs._replace(
+        buffer_state=seed_specs.buffer_state.replace(experience=())
+    )
+    learner_state = place_state(stacked, small_specs, mesh)
+    experience = make_stacked_experience(
+        exp_template, num_seeds, seed_specs.buffer_state.experience, mesh
+    )
+    learner_state = learner_state._replace(
+        buffer_state=learner_state.buffer_state.replace(experience=experience)
+    )
 
     env, eval_env = envs_
     cfg.system.num_agents = env.num_agents  # init() set it only on seed copies
