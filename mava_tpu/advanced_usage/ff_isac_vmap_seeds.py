@@ -282,6 +282,7 @@ def run_experiment(
         logger.log(final_metrics, t, 0, LogEvent.ACT)
 
     seed_returns = jnp.zeros(num_seeds)
+    per_seed = [0.0] * num_seeds  # read after the loop; the loop can be empty
     start, stop = t, int(cfg.system.total_timesteps + 1)
     for eval_idx, t in enumerate(range(start, stop, steps_per_rollout)):
         start_time = time.time()

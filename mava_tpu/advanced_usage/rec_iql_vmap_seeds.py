@@ -166,6 +166,7 @@ def run_experiment(cfg: Config, sweep_lrs=None) -> float:
     eval_batch_size = get_num_eval_envs(eval_cfg, absolute_metric=False)
 
     seed_returns = jnp.zeros(num_seeds)
+    per_seed = [0.0] * num_seeds  # read after the loop; the loop can be empty
     for eval_idx, t in enumerate(
         range(steps_per_rollout, int(cfg.system.total_timesteps + 1), steps_per_rollout)
     ):
