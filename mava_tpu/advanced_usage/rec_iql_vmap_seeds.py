@@ -8,7 +8,12 @@ unsharded seed axis. The epsilon schedule is driven by the per-seed
 `time_steps` counter, which advances identically across seeds, so every seed
 sees exactly the stock exploration schedule. Replay memory is replicated per
 seed (`num_seeds * buffer_size` trajectories of HBM) — the measured 1-chip
-boundary is ~2 seeds at default buffer sizes (BASELINE.md j362).
+boundary is ~2 seeds at default buffer sizes (BASELINE.md j362). PERF
+CAVEAT (r5 j907): unlike the on-policy families, vmapping replay systems
+costs ~10x per seed on TPU — the buffer write's dynamic-slice fast path
+scatterizes under vmap (docs/tpu_performance.md §9). Prefer sequential runs
+for seed breadth on one chip; this program remains the correctness-tested
+building block for multi-chip `seed_shards` placement.
 
 Multi-chip escape hatch: `+system.seed_shards=K` shards the seed axis over a
 2-D `(seed, data)` mesh (`make_seed_sharded_mesh`) so each device holds only
