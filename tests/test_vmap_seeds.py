@@ -193,3 +193,60 @@ def test_rec_iql_vmap_seeds_matches_stock_learner():
         state_s = vs.place_state(state_s, stock_specs, mesh)
         out_s, _ = update_s(state_s)
         _assert_tree_close(jax.tree.map(lambda x: x[s], out_v), jax.device_get(out_s))
+
+
+def test_buffer_experience_stays_on_device_in_seed_setup():
+    """The r5 init rework (BASELINE j062/j905): per-seed replay EXPERIENCE must
+    never round-trip through the host — the host-side stacked state carries
+    `experience=()` and the placed state's experience is device-created zeros
+    with the seed-lifted sharding."""
+    import numpy as np
+
+    from mava_tpu.advanced_usage import ff_isac_vmap_seeds as vs
+
+    class BufState:
+        def __init__(self, experience, current_index, is_full):
+            self.experience = experience
+            self.current_index = current_index
+            self.is_full = is_full
+
+        def replace(self, **kw):
+            d = dict(
+                experience=self.experience,
+                current_index=self.current_index,
+                is_full=self.is_full,
+            )
+            d.update(kw)
+            return BufState(**d)
+
+    from collections import namedtuple
+
+    LS = namedtuple("LS", ["params", "buffer_state"])
+    ls = LS(
+        params={"w": jnp.ones((3,))},
+        buffer_state=BufState(
+            experience={"obs": jnp.zeros((4, 8, 2))},
+            current_index=jnp.int32(0),
+            is_full=jnp.bool_(False),
+        ),
+    )
+    small, template = vs.split_buffer_experience(ls)
+    assert small.buffer_state.experience == ()
+    sds = template["obs"]
+    assert sds.shape == (4, 8, 2) and sds.dtype == jnp.float32
+
+    mesh = make_mesh()
+    num_seeds = 2
+    # Stacked zeros, created on device: dim 0 = seed axis (unsharded), dim 1 =
+    # the add-batch axis sharded over the 8-device data mesh (8 rows -> 1 per
+    # device), mirroring the real _state_specs layout.
+    exp = vs.make_stacked_experience(
+        {"obs": jax.ShapeDtypeStruct((8, 2), jnp.float32)},
+        num_seeds,
+        {"obs": P(None, DATA_AXIS)},
+        mesh,
+    )
+    assert exp["obs"].shape == (num_seeds, 8, 2)
+    np.testing.assert_array_equal(np.asarray(exp["obs"]), 0.0)
+    shard = exp["obs"].addressable_shards[0]
+    assert shard.data.shape == (num_seeds, 1, 2)  # add-batch split 8 ways
