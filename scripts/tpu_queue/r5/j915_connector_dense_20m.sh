@@ -5,5 +5,5 @@
 cd /root/repo
 timeout 8000 python -m mava_tpu.systems.ppo.ff_ippo \
   env=connector env/scenario=con-10x10x10a network=cnn \
-  system.total_timesteps=20000000 arch.num_evaluation=40 \
+  system.total_timesteps=20000000 arch.num_evaluation=100 \
   logger.use_json=True
